@@ -1,0 +1,191 @@
+"""Golden tests for the WARC kernel, mirroring the reference suite
+(/root/reference/warc/tests/test_warc.py) — golden strings hard-coded so the
+suite never needs python2."""
+
+import gzip
+import os
+
+import pytest
+
+from warc_spark.kernels import (
+    WARCRecord,
+    normalize_header_name,
+    parse_warc_stream,
+    serialize_warc_record,
+    make_record,
+    sha1_digest_hex,
+    sha1_digest_base32,
+    iter_gzip_members,
+)
+from warc_spark.kernels.warcrec import WARCFormatError
+from warc_spark.kernels.gzipmember import (
+    compress_records_as_members,
+    count_gzip_members,
+)
+
+# reference test_warc.py:55-66
+SAMPLE_WARC_RECORD_TEXT = (
+    b"WARC/1.0\r\n"
+    b"Content-Length: 10\r\n"
+    b"WARC-Date: 2012-02-10T16:15:52Z\r\n"
+    b"Content-Type: application/http; msgtype=response\r\n"
+    b"WARC-Type: response\r\n"
+    b"WARC-Record-ID: <urn:uuid:80fb9262-5402-11e1-8206-545200690126>\r\n"
+    b"WARC-Target-URI: http://example.com/\r\n"
+    b"\r\n"
+    b"Helloworld"
+    b"\r\n\r\n"
+)
+
+FIXTURE_DIR = "/root/reference/test_data"
+
+
+class TestHeaderSemantics:
+    def test_typed_accessors(self):
+        # reference test_warc.py:6-19 (test_attrs)
+        recs = list(parse_warc_stream(SAMPLE_WARC_RECORD_TEXT))
+        h = recs[0]
+        assert h.type == "response"
+        assert h.record_id == "<urn:uuid:80fb9262-5402-11e1-8206-545200690126>"
+        assert h.date == "2012-02-10T16:15:52Z"
+        assert h.content_length == 10
+        assert h.url == "http://example.com/"
+
+    def test_case_insensitive_access(self):
+        # reference test_warc.py:21-31 (test_item_access)
+        rec = WARCRecord([("WARC-Type", "response"), ("X-New-Header", "42")])
+        assert rec["WARC-Type"] == "response"
+        assert rec["WARC-TYPE"] == "response"
+        assert rec["warc-type"] == "response"
+        assert rec["X-New-Header"] == "42"
+        assert rec["x-new-header"] == "42"
+
+    def test_serialize_empty_and_single(self):
+        # reference test_warc.py:33-41 (test_str)
+        assert serialize_warc_record([], b"")[:12] == b"WARC/1.0\r\n\r\n"
+        out = serialize_warc_record([("WARC-Type", "response")], b"")
+        assert out.startswith(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+
+    def test_name_normalization_quirks(self):
+        # reference warc.py:96-98; x-id-token quirk
+        assert normalize_header_name("warc-type") == "WARC-Type"
+        assert normalize_header_name("warc-record-id") == "WARC-Record-ID"
+        assert normalize_header_name("warc-ip-address") == "WARC-IP-Address"
+        assert normalize_header_name("warc-target-uri") == "WARC-Target-URI"
+        assert normalize_header_name("x-id-token") == "X-ID-Token"
+        assert normalize_header_name("content-length") == "Content-Length"
+
+    def test_init_defaults(self):
+        # reference test_warc.py:43-49
+        rec = make_record(warc_type="resource", record_id="rid", date="2012-02-10T16:15:52Z")
+        assert rec.type == "resource"
+        assert "WARC-Date" in rec
+        assert "Content-Type" in rec
+        assert "WARC-Record-ID" in rec
+
+    def test_content_types(self):
+        # reference test_warc.py:51-56 (test_new_content_types)
+        def f(t):
+            return make_record(warc_type=t, record_id="r", date="2012-02-10T16:15:52Z")
+        assert f("response")["Content-Type"] == "application/http; msgtype=response"
+        assert f("request")["Content-Type"] == "application/http; msgtype=request"
+        assert f("warcinfo")["Content-Type"] == "application/warc-fields"
+        assert f("newtype")["Content-Type"] == "application/octet-stream"
+
+    def test_default_digest_and_length(self):
+        rec = make_record(payload=b"Helloworld", record_id="r", date="2012-02-10T16:15:52Z")
+        assert rec["Content-Length"] == "10"
+        assert rec["WARC-Payload-Digest"] == sha1_digest_hex(b"Helloworld")
+        assert rec["WARC-Payload-Digest"].startswith("sha1:")
+        empty = make_record(payload=b"", record_id="r", date="2012-02-10T16:15:52Z")
+        assert empty["Content-Length"] == "0"
+
+
+class TestReader:
+    def test_read_record_roundtrip(self):
+        recs = list(parse_warc_stream(SAMPLE_WARC_RECORD_TEXT))
+        assert len(recs) == 1
+        assert recs[0].payload == b"Helloworld"
+        # byte-identical re-serialization (header order preserved)
+        assert recs[0].to_bytes() == SAMPLE_WARC_RECORD_TEXT
+
+    def test_empty(self):
+        assert list(parse_warc_stream(b"")) == []
+
+    def test_multiple_records(self):
+        # fixes the reference's never-run read_multiple_records (test_warc.py:87)
+        recs = list(parse_warc_stream(SAMPLE_WARC_RECORD_TEXT * 5))
+        assert len(recs) == 5
+        assert [r.offset for r in recs] == [
+            i * len(SAMPLE_WARC_RECORD_TEXT) for i in range(5)
+        ]
+
+    def test_bad_version_line(self):
+        with pytest.raises(IOError):
+            list(parse_warc_stream(b"WARC/9.9\r\n\r\n\r\n\r\n"))
+        with pytest.raises(IOError):
+            list(parse_warc_stream(b"HTTP/1.0\r\n\r\n"))
+
+    def test_header_name_with_digit_rejected(self):
+        # RE_HEADER charset is [a-zA-Z_-]+ (warc.py:317)
+        bad = b"WARC/1.0\r\nWARC-Type2: response\r\n\r\n\r\n\r\n"
+        with pytest.raises(IOError):
+            list(parse_warc_stream(bad))
+
+    def test_missing_footer(self):
+        bad = SAMPLE_WARC_RECORD_TEXT[:-4] + b"XXXX"
+        with pytest.raises(IOError):
+            list(parse_warc_stream(bad))
+
+    def test_lax_mode_emits_error(self):
+        bad = SAMPLE_WARC_RECORD_TEXT[:-4] + b"XXXX"
+        recs = list(parse_warc_stream(bad, strict=False))
+        assert recs[0].error == "missing footer"
+
+
+class TestGzipMembers:
+    def test_write_member_per_record(self):
+        # reference test_warc.py:100-109 (test_write_gz): 10 records -> 10 members
+        payloads = [b"hello %d" % i for i in range(10)]
+        records = [
+            make_record(payload=p, record_id="r%d" % i, date="2012-02-10T16:15:52Z").to_bytes()
+            for i, p in enumerate(payloads)
+        ]
+        blob = compress_records_as_members(records)
+        assert blob.count(b"\x1f\x8b") >= 10  # magic may also occur in data
+        assert count_gzip_members(blob) == 10
+        # round-trip
+        out = [p for _, _, p in iter_gzip_members(blob)]
+        assert out == records
+
+    def test_member_offsets_match_reference_browse(self):
+        # compressed offsets are member start positions (warc.py:284-313)
+        records = [
+            make_record(payload=b"x" * 100, record_id="r%d" % i, date="2012-02-10T16:15:52Z").to_bytes()
+            for i in range(3)
+        ]
+        blob = compress_records_as_members(records)
+        offsets = [off for off, _, _ in iter_gzip_members(blob)]
+        sizes = [sz for _, sz, _ in iter_gzip_members(blob)]
+        assert offsets[0] == 0
+        assert offsets[1] == sizes[0]
+        assert offsets[2] == sizes[0] + sizes[1]
+        assert sum(sizes) == len(blob)
+
+    def test_crlf_at_1k_boundary_fixture(self):
+        # reference test_warc.py:111-119: real fixture, base32 digest golden
+        path = os.path.join(FIXTURE_DIR, "crlf_at_1k_boundary.warc.gz")
+        if not os.path.exists(path):
+            pytest.skip("fixture not available")
+        with open(path, "rb") as f:
+            blob = f.read()
+        members = list(iter_gzip_members(blob))
+        assert len(members) == 1
+        recs = list(parse_warc_stream(members[0][2]))
+        assert len(recs) == 1
+        h = recs[0]
+        assert h["WARC-Payload-Digest"] == "sha1:M4VJCCJQJKPACSSSBHURM572HSDQHO2P"
+        # real-world archives digest the HTTP *body* in base32 (spec),
+        # unlike the reference writer which digests the whole payload in hex
+        body = recs[0].payload.split(b"\r\n\r\n", 1)[1]
+        assert sha1_digest_base32(body) == h["WARC-Payload-Digest"]
