@@ -1,0 +1,236 @@
+"""Deterministic synthetic Common-Crawl-style pages table + extraction kernels.
+
+Shape is the BASELINE.json:15 input_hint exactly:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``
+where ``html`` is a *full serialized WARC response record* (version line +
+headers + HTTP response payload + CRLF CRLF footer, per
+/root/reference/warc/warc.py:90-104,159-164) so the parse kernel is exercised
+end-to-end, and ``text`` is the reference-extracted text for that html — the
+byte-identity oracle column: ``extract_text_kernel(html) == text`` must hold
+for every row.
+
+Everything is derived from (seed, row-index) through a splitmix64-style mixer
+— vectorized numpy, no RNG state, so generation is order- and
+partition-independent (the same row id yields the same page at any
+parallelism; required for the two-parallelism scaling proof and for exact
+crawl-oracle replay). Hosts are Zipf-skewed (log-uniform rank) so politeness
+and skew-handling paths are genuinely exercised; pages embed deterministic
+``<a href>`` links to other pages, giving the frontier a crawlable graph.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), False),
+        StructField("text", StringType(), False),
+        StructField("lang", StringType(), False),
+    ]
+)
+
+_LANGS = np.array(["en", "de", "fr", "es", "zh", "ru", "ja"])
+_LANG_CDF = np.array([0.55, 0.67, 0.77, 0.85, 0.91, 0.96, 1.0])
+_PHRASES = np.array(
+    [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump",
+        "sphinx of black quartz judge my vow",
+        "crawling the open web requires politeness and patience",
+        "distributed systems fail in correlated and amusing ways",
+        "a bloom filter never forgets but sometimes imagines",
+        "shuffle partitions should scale with the data not the cluster",
+        "broadcast the small side and salt the hot keys",
+        "columnar storage prunes what row stores must read",
+        "adaptive execution replans when statistics disagree",
+        "checkpoint early checkpoint often resume exactly",
+        "robots dot txt is a promise not a firewall",
+        "the frontier grows faster than any single queue",
+        "deduplicate before you fetch not after you store",
+        "latency hides in the tail of the slowest host",
+    ]
+)
+_BASE_TS = np.datetime64("2026-08-01T00:00:00")
+_MAX_LINKS = 8
+
+
+def _mix(x: np.ndarray, salt: int) -> np.ndarray:
+    """splitmix64 finalizer — stateless per-index randomness (uint64
+    wraparound is the point, so overflow warnings are suppressed)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(
+            (salt * 0x9E3779B97F4A7C15) % (1 << 64)
+        )
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _u01(x: np.ndarray, salt: int) -> np.ndarray:
+    return (_mix(x, salt) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _hosts(ids: np.ndarray, n_hosts: int, seed: int) -> np.ndarray:
+    # log-uniform rank -> Zipf-ish skew: rank 0 is the hottest host
+    u = _u01(ids, seed + 1)
+    rank = np.minimum(
+        (np.exp(u * np.log(n_hosts)) - 1.0).astype(np.int64), n_hosts - 1
+    )
+    return rank
+
+
+def _host_names(rank: np.ndarray) -> pd.Series:
+    return "host" + pd.Series(rank).astype(str) + ".example.org"
+
+
+def _urls_for(ids: np.ndarray, n_hosts: int, seed: int) -> pd.Series:
+    host = _host_names(_hosts(ids, n_hosts, seed))
+    return "http://" + host + "/page/" + pd.Series(ids).astype(str)
+
+
+def _texts_for(ids: np.ndarray, seed: int) -> pd.Series:
+    """Deterministic text: 4 phrase slots + a per-doc marker sentence.
+
+    ~5%% of pages are exact duplicates of a nearby 'canonical' page (same
+    text, different url) so dedup operators have real work.
+    """
+    base = ids - (ids % 17)
+    is_dup = _u01(ids, seed + 2) < 0.05
+    eff = np.where(is_dup, base, ids)
+    parts = []
+    for k in range(4):
+        idx = (_mix(eff, seed + 10 + k) % np.uint64(len(_PHRASES))).astype(np.int64)
+        parts.append(pd.Series(_PHRASES[idx]))
+    marker = "document " + pd.Series(eff).astype(str) + " of the synthetic crawl."
+    return parts[0] + ". " + parts[1] + ". " + parts[2] + ". " + parts[3] + ". " + marker
+
+
+def _langs_for(ids: np.ndarray, seed: int) -> pd.Series:
+    u = _u01(ids, seed + 3)
+    idx = np.searchsorted(_LANG_CDF, u, side="right")
+    return pd.Series(_LANGS[np.minimum(idx, len(_LANGS) - 1)])
+
+
+def _links_for(ids: np.ndarray, n: int, n_hosts: int, seed: int) -> pd.Series:
+    """Per-page anchor list (html string); targets are other page ids."""
+    n_links = 2 + (_mix(ids, seed + 4) % np.uint64(_MAX_LINKS - 1)).astype(np.int64)
+    out = pd.Series([""] * len(ids))
+    for k in range(_MAX_LINKS):
+        tgt = (_mix(ids, seed + 20 + k) % np.uint64(n)).astype(np.int64)
+        anchor = '<a href="' + _urls_for(tgt, n_hosts, seed) + '">l</a>'
+        out = out.where(~(k < n_links), out + anchor)
+    return out
+
+
+def _pseudo_uuid(ids: np.ndarray, seed: int) -> pd.Series:
+    a = pd.Series(_mix(ids, seed + 5)).apply(lambda v: format(v, "016x"))
+    b = pd.Series(_mix(ids, seed + 6)).apply(lambda v: format(v, "016x"))
+    return (
+        a.str[:8] + "-" + a.str[8:12] + "-" + a.str[12:16]
+        + "-" + b.str[:4] + "-" + b.str[4:16]
+    )
+
+
+def gen_pages_pdf(ids: np.ndarray, n: int, n_hosts: int, seed: int) -> pd.DataFrame:
+    """The generation kernel: page rows for the given ids (vectorized)."""
+    ids = ids.astype(np.uint64)
+    url = _urls_for(ids, n_hosts, seed)
+    text = _texts_for(ids, seed)
+    lang = _langs_for(ids, seed)
+    links = _links_for(ids, n, n_hosts, seed)
+    secs = (_mix(ids, seed + 7) % np.uint64(86400)).astype("timedelta64[s]")
+    warc_ts = pd.Series((_BASE_TS + secs).astype("datetime64[ns]"))
+    date_str = warc_ts.dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    body = (
+        "<html><head><title>page</title></head><body><p>" + text + "</p><ul>"
+        + links + "</ul></body></html>"
+    )
+    http = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+        + body.str.len().astype(str) + "\r\n\r\n" + body
+    )
+    record = (
+        "WARC/1.0\r\n"
+        + "WARC-Type: response\r\n"
+        + "WARC-Record-ID: <urn:uuid:" + _pseudo_uuid(ids, seed) + ">\r\n"
+        + "WARC-Date: " + date_str + "\r\n"
+        + "WARC-Target-URI: " + url + "\r\n"
+        + "Content-Type: application/http; msgtype=response\r\n"
+        + "Content-Length: " + http.str.len().astype(str) + "\r\n"
+        + "\r\n" + http + "\r\n\r\n"
+    )
+    html = record.map(lambda s: s.encode("latin-1"))
+    return pd.DataFrame(
+        {"url": url, "warc_ts": warc_ts, "html": html, "text": text, "lang": lang}
+    )
+
+
+def synth_pages(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    n_hosts: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic pages table (map-only over spark.range)."""
+    n_hosts = n_hosts or max(8, n // 200)
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_pages_pdf(pdf["id"].to_numpy(), n, n_hosts, seed)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, PAGES_SCHEMA)
+
+
+# ---- extraction kernels (vectorized; the byte-identity invariant) ---------
+
+_TEXT_RE = r"<p>(.*?)</p>"
+_HREF_RE = r'href="([^"]+)"'
+
+
+def extract_text_kernel(html: pd.Series) -> pd.Series:
+    """html (WARC record bytes) -> extracted text. Byte-identical to the
+    ``text`` column for generated pages (BASELINE.json per-row invariant)."""
+    s = html.map(lambda b: bytes(b).decode("latin-1"))
+    body = s.str.split("\r\n\r\n", n=2).str[2]  # after WARC hdr + HTTP hdr
+    return body.str.extract(_TEXT_RE, expand=False)
+
+
+def extract_links_kernel(html: pd.Series) -> pd.Series:
+    """html -> list<string> of out-link urls."""
+    s = html.map(lambda b: bytes(b).decode("latin-1"))
+    body = s.str.split("\r\n\r\n", n=2).str[2]
+    return body.str.findall(_HREF_RE)
+
+
+def synth_seeds(
+    spark: SparkSession, n_pages: int, n_seeds: int = 20, seed: int = 42,
+    n_hosts: int | None = None,
+) -> DataFrame:
+    """Seed list: every 7th page id from the front of the id space, priority
+    descending — deterministic, same list the oracle simulator uses."""
+    n_hosts = n_hosts or max(8, n_pages // 200)
+    ids = np.arange(0, n_seeds, dtype=np.uint64) * np.uint64(7) % np.uint64(n_pages)
+    urls = _urls_for(ids, n_hosts, seed)
+    pdf = pd.DataFrame(
+        {"url": urls, "priority": 1.0 - np.arange(n_seeds) * 1e-3}
+    ).drop_duplicates("url")
+    return spark.createDataFrame(pdf)
