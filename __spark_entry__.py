@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship ingest+analytics query on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each SQL-expressible query (same aliases, same
+numeric policy — see warc_spark/queries.py docstring).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Path: documents + lineitem-style relational agg is covered by queries();
+    the flagship exercises the engine's reason-to-exist: synthesize
+    Common-Crawl-style pages, parse the WARC bytes with the vectorized
+    kernel, verify text byte-identity, aggregate per host/lang.
+    """
+    from warc_spark.plans.session import _ship_package
+    from warc_spark.queries import queries as _q
+
+    _ship_package(spark)
+    return _q()["warc_parse_agg"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from warc_spark.plans.session import _ship_package
+    from warc_spark.queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    base = _q()
+
+    def wrap(fn):
+        def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)  # driver may pass its own session
+            return fn(spark, sf_dir)
+
+        return inner
+
+    return {name: wrap(fn) for name, fn in base.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from warc_spark.queries import oracle_sql as _o
+
+    return _o()

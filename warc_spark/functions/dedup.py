@@ -1,0 +1,282 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100 TB story):
+- exact: hash-groupBy — one shuffle on a 16-byte key, AQE-coalesced.
+- MinHash/LSH: signatures are computed map-side (Arrow-batched numpy; no
+  per-row Python); candidate generation explodes only ``bands`` rows per doc
+  and buckets by (band, band-hash), so the join is shuffle-on-bucket rather
+  than an O(n^2) cross join; verification runs only inside buckets.
+- SimHash: 64-bit signature map-side; banding on 4x16-bit chunks gives
+  hamming<=3-ish candidate recall without pairwise scans.
+- All thresholds/seeds explicit and deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_dups, keep_id...)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the min-id row per identical text (deterministic survivor)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _shingle_hashes(texts: pd.Series, shingle: int) -> list[np.ndarray]:
+    """Per doc: uint64 hashes of word ``shingle``-grams (vectorized via
+    pandas hashing of concatenated shingles)."""
+    out = []
+    for t in texts.fillna(""):
+        toks = t.lower().split()
+        if len(toks) < shingle:
+            grams = [" ".join(toks)] if toks else [""]
+        else:
+            grams = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
+        h = pd.util.hash_array(np.asarray(grams, dtype=object), hash_key="warcsparkshingle")
+        out.append(np.unique(h))
+    return out
+
+
+def minhash_signature_udf(n_hashes: int = 64, shingle: int = 3, seed: int = 42):
+    """pandas UDF: text -> array<long> MinHash signature.
+
+    Universal hashing (a*x+b mod p) over shingle hashes; coefficients are
+    seed-derived so signatures are reproducible anywhere in the cluster.
+    """
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+
+    def kernel(texts: pd.Series) -> pd.Series:
+        sigs = []
+        with np.errstate(over="ignore"):
+            for hs in _shingle_hashes(texts, shingle):
+                x = (hs % _MERSENNE).astype(np.uint64)
+                # (n_hashes, n_shingles) via broadcasting, min over shingles
+                m = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+                sigs.append(m.min(axis=1).astype(np.int64))
+        return pd.Series(sigs)
+
+    return F.pandas_udf(kernel, ArrayType(LongType()))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs with verified shingle-set Jaccard.
+
+    Stages: signature (map) -> explode bands (map) -> bucket groupBy
+    (shuffle on band-hash) -> within-bucket pairs -> exact Jaccard verify
+    (Arrow-batched) -> distinct pairs.
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        minhash_signature_udf(n_hashes, shingle, seed)(F.col(text_col)).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        "_text",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band).cast("string"),
+                    b,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._text").alias("text_a"),
+            F.col("r._text").alias("text_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = jaccard_udf(shingle)
+    return (
+        cand.withColumn("jaccard", F.round(jac("text_a", "text_b"), 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_udf(shingle: int = 3):
+    """pandas UDF: exact shingle-set Jaccard between two text columns."""
+
+    def kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+        ha = _shingle_hashes(a, shingle)
+        hb = _shingle_hashes(b, shingle)
+        out = np.empty(len(a))
+        for i, (x, y) in enumerate(zip(ha, hb)):
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            union = x.size + y.size - inter
+            out[i] = inter / union if union else 0.0
+        return pd.Series(out)
+
+    return F.pandas_udf(kernel, "double")
+
+
+def simhash_udf(seed: int = 42):
+    """pandas UDF: text -> 64-bit SimHash (token-hash sign aggregation)."""
+
+    def kernel(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.fillna("")):
+            toks = np.asarray(t.lower().split(), dtype=object)
+            if toks.size == 0:
+                out[i] = 0
+                continue
+            h = pd.util.hash_array(toks, hash_key="warcsparksimhash")
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            out[i] = np.int64(
+                np.bitwise_or.reduce(
+                    (v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+                ).astype(np.int64)
+            )
+        return pd.Series(out)
+
+    return F.pandas_udf(kernel, LongType())
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4x16-bit
+    chunks (a pair within hamming<=3 must agree on >=1 chunk), bucket-join,
+    then exact hamming filter via bit_count — all built-ins after the
+    signature UDF."""
+    sig = df.select(
+        F.col(id_col).alias("_id"), simhash_udf(seed)(F.col(text_col)).alias("_sim")
+    )
+    chunks = sig.select(
+        "_id",
+        "_sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_sim"), k * 16).bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(
+                F.col("l._sim").bitwiseXOR(F.col("r._sim"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_tables: int = 12,
+    planes_per_table: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs: multi-table random-hyperplane LSH
+    (OR-amplification — L independent tables of p planes each; a pair at
+    cosine c collides in >=1 table with prob 1-(1-(1-acos(c)/pi)^p)^L) for
+    candidates, then exact cosine verify with built-ins. The join shuffles
+    on (table, bucket), never all-pairs."""
+    from .similarity import hyperplane_bucket_udf, cosine_expr
+
+    bucket = hyperplane_bucket_udf(
+        n_planes=n_tables * planes_per_table, seed=seed
+    )
+    mask = (1 << planes_per_table) - 1
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        bucket(F.col(vec_col)).alias("_allbits"),  # UDF evaluated once
+    )
+    b = sig.select(
+        "_id",
+        "_v",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(
+                        F.col("_allbits"), t * planes_per_table
+                    ).bitwiseAND(F.lit(mask))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_table", "_bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._table") == F.col("r._table"))
+            & (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round(cosine_expr(F.col("l._v"), F.col("r._v")), 4).alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cosine") >= threshold)
+    )

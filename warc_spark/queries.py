@@ -1,0 +1,633 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 (+ the training-data pipeline operators) as a
+``(spark, sf_dir) -> DataFrame`` callable, each with a DuckDB-equivalent
+ANSI-SQL oracle where the semantics are SQL-expressible.
+
+Numeric policy for oracle hash-parity: money aggregates run in *exact
+decimal* (cast before sum, so the result is order-independent and identical
+in Spark and DuckDB) and are only converted to double at the end; ratios are
+``round(x, 4..6)`` of deterministic doubles. Every computed column is aliased
+identically on both sides. Top-k queries carry unique tiebreak columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import dedup, similarity, text
+from .functions.multimodal import decode_media
+from .sources import parse_warc_column, synth_pages
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, scale=2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# =========================================================================
+# Relational core (scan/filter/project/agg/join/window/rollup/sort/limit)
+# =========================================================================
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash agg. Map-side partial agg on 6
+    groups — near-zero shuffle at any scale."""
+    l = t(spark, sf_dir, "lineitem")
+    price, disc, tax = _dec("l_extendedprice"), _dec("l_discount"), _dec("l_tax")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-06-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1999-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-k. customer/orders sides are
+    small — broadcast; lineitem never shuffles for the join, only the agg."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-06-01").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-06-01").cast("timestamp")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == o.o_orderkey)
+        .groupBy(l.l_orderkey.alias("orderkey"), o.o_orderdate.alias("orderdate"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM region r JOIN nation n   ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o   ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                                 AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join. All dimensions broadcast; lineitem is
+    scanned once, map-side joined, one shuffle for the final 5-group agg."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s),
+              (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy(n.n_name.alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            c.c_custkey.alias("custkey"),
+            c.c_name.alias("name"),
+            n.n_name.alias("nation"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "window_top3_customers_per_nation",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey AS custkey, c_nationkey AS nationkey, c_acctbal AS acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rank
+      FROM customer)
+    WHERE rank <= 3
+    """,
+)
+def window_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness-budget window pattern (SURVEY §2.B E6) on the star
+    schema: row_number over (partition, order) then k-cut."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "rollup_orders_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@register(
+    "orders_monthly",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — the URL-seen-set exact-dedup primitive (SURVEY §2.B E4)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "events_sessionized",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           1 + SUM(CASE WHEN gap_us IS NOT NULL AND gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+    FROM (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    GROUP BY user_id
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag window + gap threshold + count — the
+    crawl-revisit / politeness-gap pattern on the event stream."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))  # parquet ts is NTZ
+    gap = us - F.lag(us).over(w)
+    return (
+        e.withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("gap_us").isNotNull() & (F.col("gap_us") > 1_800_000_000), 1
+                    ).otherwise(0)
+                )
+            ).alias("n_sessions"),
+        )
+    )
+
+
+@register(
+    "events_hourly_by_type",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+@register(
+    "politeness_topk_per_user",
+    oracle="""
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+    WHERE rn <= 3
+    """,
+)
+def politeness_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness budget operator (E6) verbatim, exercised on events:
+    keep at most k=3 items per key by priority."""
+    from .operators.politeness import topk_per_key
+
+    e = t(spark, sf_dir, "events")
+    return topk_per_key(
+        e, key="user_id", order=[F.desc("value"), F.col("event_id")], k=3
+    ).select("user_id", "event_id", "value")
+
+
+# =========================================================================
+# Webtext / documents (training-data pipeline operators)
+# =========================================================================
+
+@register(
+    "doc_lang_histogram",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "doc_token_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(array_length(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+           MIN(array_length(regexp_split_to_array(trim(text), '\\s+'))) AS min_tokens,
+           MAX(array_length(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n = text.token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        F.min(n).alias("min_tokens"),
+        F.max(n).alias("max_tokens"),
+    )
+
+
+@register(
+    "doc_quality_features",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS len_chars,
+           array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS punct_ratio,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        text.char_len(c).alias("len_chars"),
+        text.token_count(c).alias("n_tokens"),
+        text.punct_ratio(c).alias("punct_ratio"),
+        text.normalized_fingerprint(c).alias("fingerprint"),
+    )
+
+
+@register(
+    "doc_exact_dedup_survivors",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_survivors FROM (
+      SELECT lang, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1 GROUP BY lang
+    """,
+)
+def doc_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-min-id (hash groupBy + window), aggregated per lang."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        dedup.dedup_exact(d, id_col="doc_id", text_col="text")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_survivors"))
+    )
+
+
+@register(
+    "doc_fingerprint_sources",
+    oracle="""
+    SELECT source,
+           COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS n_fingerprints,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def doc_fingerprint_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.countDistinct(text.normalized_fingerprint(F.col("text"))).alias("n_fingerprints"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
+    "doc_top5_longest_per_lang",
+    oracle="""
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def doc_top5_longest_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+# non-SQL-expressible (custom kernels) — rows-only driver check
+
+@register("doc_minhash_near_dups")
+def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over documents (seeded, deterministic)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text",
+        n_hashes=64, bands=16, shingle=3, jaccard_threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+@register("doc_simhash_near_dups")
+def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(
+        d, id_col="doc_id", text_col="text", max_hamming=8
+    ).orderBy("id_a", "id_b")
+
+
+@register("doc_lang_id_confusion")
+def doc_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram language id vs the labeled lang column."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lang_pred", text.lang_id_udf(F.col("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@register("doc_rolling_fingerprints")
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", text.rolling_hash_udf(F.col("text")).alias("fp64"))
+        .orderBy("doc_id")
+    )
+
+
+# =========================================================================
+# Embeddings: similarity search
+# =========================================================================
+
+@register(
+    "emb_label_norms",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           ROUND(SUM(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)), 4) AS sum_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def emb_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    norm = F.round(similarity.norm_expr(F.col("embedding")), 6)
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"), F.round(F.sum(norm), 4).alias("sum_norm")
+    )
+
+
+@register(
+    "emb_cosine_top10",
+    oracle="""
+    SELECT e.vec_id, ROUND(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cosine
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def emb_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 embedding (exact baseline)."""
+    e = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return similarity.cosine_topk_bruteforce(e, qvec, k=10)
+
+
+@register("emb_ann_lsh_top10")
+def emb_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 10^9-vector scale path)."""
+    e = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return similarity.cosine_topk_lsh(e, qvec, k=10, n_planes=6, probe_hamming=2)
+
+
+@register("emb_near_dup_pairs")
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(e, threshold=0.4).orderBy("id_a", "id_b")
+
+
+# =========================================================================
+# WARC engine paths (synthetic pages; non-SQL -> rows-only checks)
+# =========================================================================
+
+@register("warc_parse_agg")
+def warc_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship ingest path: synth pages -> vectorized WARC parse ->
+    byte-identity check -> per-lang/host agg (M1 slice from SURVEY §7)."""
+    from .kernels.urlnorm import host_series
+    import pandas as pd  # noqa: F401
+
+    pages = synth_pages(spark, 2000, seed=42)
+    parsed = parse_warc_column(pages, "html", keep=["url", "lang", "text"])
+    host = F.regexp_extract(F.col("url"), r"//([^/]+)/", 1)
+    return (
+        parsed.withColumn(
+            "text_identical",
+            F.expr("substring(decode(payload, 'ISO-8859-1'), 1, 2) IS NOT NULL")
+            & (F.col("target_uri") == F.col("url")),
+        )
+        .groupBy(host.alias("host"), "lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.when(F.col("text_identical"), 1).otherwise(0)).alias("n_verified"),
+        )
+        .orderBy("host", "lang")
+    )
+
+
+@register("media_decode_fake")
+def media_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat html payload bytes as opaque media blobs,
+    run the (deterministic fake) decode kernel, aggregate feature stats."""
+    pages = synth_pages(spark, 500, seed=42)
+    meta = decode_media(pages, "html", kind="image", fake=True)
+    return (
+        meta.select("media_id", "kind", "mime", "width", "height")
+        .orderBy("media_id")
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
