@@ -1,0 +1,179 @@
+"""Frontier engine vs the single-process oracle simulator: crawl ordering,
+URL-seen set, robots/politeness semantics, checkpoint/exact-resume."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_sim import simulate_crawl
+from warc_spark.operators.frontier import FrontierConfig, FrontierEngine
+from warc_spark.operators.robots import ROBOTS_SCHEMA
+from warc_spark.plans.snapstore import SnapStore
+from warc_spark.sources.pages import gen_pages_pdf, synth_pages, synth_seeds
+
+N_PAGES = 400
+N_HOSTS = 8
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return gen_pages_pdf(np.arange(N_PAGES, dtype=np.uint64), N_PAGES, N_HOSTS, SEED)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return synth_pages(spark, N_PAGES, seed=SEED, n_hosts=N_HOSTS)
+
+
+@pytest.fixture(scope="module")
+def seeds_df(spark):
+    return synth_seeds(spark, N_PAGES, n_seeds=12, seed=SEED, n_hosts=N_HOSTS)
+
+
+def seeds_list(seeds_df):
+    return [(r.url, r.priority) for r in seeds_df.collect()]
+
+
+ROBOTS_RULES = {
+    "host0.example.org": ["/page/1"],   # blocks /page/1*
+    "host2.example.org": ["/"],         # blocks everything
+}
+BUDGETS = {"host0.example.org": 2, "host1.example.org": 3}
+
+
+def make_robots_df(spark):
+    rows = [(h, p, 1.0) for h, p in ROBOTS_RULES.items()]
+    return spark.createDataFrame(rows, ROBOTS_SCHEMA)
+
+
+def make_budgets_df(spark):
+    return spark.createDataFrame(
+        [(h, k) for h, k in BUDGETS.items()], "host string, max_fetches_per_batch int"
+    )
+
+
+def collect_batches(store, spark, n):
+    out = []
+    for k in range(n):
+        rows = (
+            store.read_df(spark, k, "scheduled")
+            .select("url", "priority", "rank_in_batch")
+            .orderBy("rank_in_batch")
+            .collect()
+        )
+        out.append([(r.url, r.priority) for r in rows])
+    return out
+
+
+def run_engine(spark, pages_df, seeds_df, tmp_path, cfg=None, robots=None, budgets=None,
+               resume=False, store=None):
+    store = store or SnapStore(str(tmp_path / "snap"))
+    eng = FrontierEngine(
+        spark, pages_df, store,
+        robots=robots, budgets=budgets,
+        config=cfg or FrontierConfig(max_batches=5, default_budget=4),
+    )
+    manifests = eng.run(seeds_df, resume=resume)
+    return store, manifests
+
+
+class TestCrawlOracle:
+    def test_matches_simulator_plain(self, spark, pages_df, pages_pdf, seeds_df, tmp_path):
+        cfg = FrontierConfig(max_batches=4, default_budget=4)
+        store, manifests = run_engine(spark, pages_df, seeds_df, tmp_path, cfg)
+        sim = simulate_crawl(
+            pages_pdf, seeds_list(seeds_df), default_budget=4, max_batches=4
+        )
+        assert len(manifests) == len(sim.batches)
+        got = collect_batches(store, spark, len(manifests))
+        for k, (g, s) in enumerate(zip(got, sim.batches)):
+            assert g == s, f"batch {k} ordering mismatch"
+        # final URL-seen set matches exactly
+        seen = {
+            r.url
+            for r in store.read_all_scheduled(spark, len(manifests) - 1).collect()
+        }
+        assert seen == sim.seen
+
+    def test_matches_simulator_with_robots_and_budgets(
+        self, spark, pages_df, pages_pdf, seeds_df, tmp_path
+    ):
+        cfg = FrontierConfig(max_batches=4, default_budget=3)
+        store, manifests = run_engine(
+            spark, pages_df, seeds_df, tmp_path, cfg,
+            robots=make_robots_df(spark), budgets=make_budgets_df(spark),
+        )
+        sim = simulate_crawl(
+            pages_pdf, seeds_list(seeds_df),
+            robots=ROBOTS_RULES, budgets=BUDGETS,
+            default_budget=3, max_batches=4,
+        )
+        got = collect_batches(store, spark, len(manifests))
+        assert len(got) == len(sim.batches)
+        for k, (g, s) in enumerate(zip(got, sim.batches)):
+            assert g == s, f"batch {k} ordering mismatch"
+        # robots-blocked hosts never scheduled
+        all_sched = store.read_all_scheduled(spark, len(manifests) - 1)
+        assert all_sched.filter(F.col("host") == "host2.example.org").count() == 0
+        # per-batch politeness budget respected
+        per_host = (
+            all_sched.groupBy("batch", "host").count().filter(F.col("count") > 3)
+        )
+        for r in per_host.collect():
+            assert BUDGETS.get(r.host, 3) >= r["count"]
+
+    def test_metrics_match_simulator(self, spark, pages_df, pages_pdf, seeds_df, tmp_path):
+        cfg = FrontierConfig(max_batches=3, default_budget=4)
+        store, manifests = run_engine(spark, pages_df, seeds_df, tmp_path, cfg)
+        sim = simulate_crawl(pages_pdf, seeds_list(seeds_df), default_budget=4, max_batches=3)
+        for m, sm in zip(manifests, sim.metrics):
+            for key in ("scheduled", "found", "missing", "frontier_after"):
+                assert m["metrics"][key] == sm[key], (key, m["metrics"], sm)
+
+
+class TestResume:
+    def test_exact_resume(self, spark, pages_df, pages_pdf, seeds_df, tmp_path):
+        """Run 2 batches, stop, resume for 2 more — final state must equal an
+        uninterrupted 4-batch run (exact-resume, north_rule)."""
+        cfg2 = FrontierConfig(max_batches=2, default_budget=4)
+        store, m1 = run_engine(spark, pages_df, seeds_df, tmp_path / "a", cfg2)
+        assert store.latest() == len(m1) - 1
+        cfg4 = FrontierConfig(max_batches=4, default_budget=4)
+        eng = FrontierEngine(spark, pages_df, store, config=cfg4)
+        m2 = eng.run(seeds_df, resume=True)
+        assert [m["snapshot"] for m in m2] == [2, 3]
+
+        ref_store, _ = run_engine(spark, pages_df, seeds_df, tmp_path / "b", cfg4)
+        got = collect_batches(store, spark, 4)
+        ref = collect_batches(ref_store, spark, 4)
+        assert got == ref
+        seen_a = {r.url for r in store.read_all_scheduled(spark, 3).collect()}
+        seen_b = {r.url for r in ref_store.read_all_scheduled(spark, 3).collect()}
+        assert seen_a == seen_b
+
+    def test_manifest_lineage(self, spark, pages_df, seeds_df, tmp_path):
+        store, manifests = run_engine(
+            spark, pages_df, seeds_df, tmp_path,
+            FrontierConfig(max_batches=2, default_budget=4),
+        )
+        for m in manifests:
+            sched = m["tables"]["scheduled"]
+            assert sched["rows"] == sum(p["rows"] for p in sched["partitions"])
+            assert m["metrics"]["urls_per_sec"] is not None
+            assert "bloom" in m["tables"]
+
+
+class TestBloomPath:
+    def test_bloom_equals_exact(self, spark, pages_df, pages_pdf, seeds_df, tmp_path):
+        """Bloom-prefiltered run must match the pure exact-anti-join run
+        batch-for-batch (no false drops — the ⊇-safety property)."""
+        cfg_b = FrontierConfig(max_batches=3, default_budget=4, use_bloom=True,
+                               bloom_buckets=8, bloom_bits=1 << 12)
+        cfg_e = FrontierConfig(max_batches=3, default_budget=4, use_bloom=False)
+        store_b, mb = run_engine(spark, pages_df, seeds_df, tmp_path / "bloom", cfg_b)
+        store_e, me = run_engine(spark, pages_df, seeds_df, tmp_path / "exact", cfg_e)
+        assert len(mb) == len(me)
+        assert collect_batches(store_b, spark, len(mb)) == collect_batches(
+            store_e, spark, len(me)
+        )

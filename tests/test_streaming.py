@@ -1,0 +1,62 @@
+"""Structured Streaming ingest: stream==batch parity on the same files."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warc_spark.sources.pages import synth_pages
+from warc_spark.streaming import (
+    run_available_now,
+    stream_pages,
+    streaming_host_rollup,
+    streaming_parse_records,
+    streaming_url_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def landing_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("landing"))
+    # two separate drops so the stream sees multiple files
+    synth_pages(spark, 150, seed=42, partitions=2).write.mode("append").parquet(d)
+    synth_pages(spark, 150, seed=43, partitions=2).write.mode("append").parquet(d)
+    return d
+
+
+def test_streaming_rollup_matches_batch(spark, landing_dir):
+    stream = stream_pages(spark, landing_dir, max_files_per_trigger=2)
+    got = run_available_now(
+        streaming_host_rollup(stream), "rollup_test", output_mode="append"
+    )
+    # append mode emits only watermark-closed windows; compare against the
+    # batch rollup restricted to the same windows
+    batch = spark.read.parquet(landing_dir)
+    host = F.regexp_extract(F.col("url"), r"//([^/:?#]+)", 1)
+    expected = (
+        batch.groupBy(
+            F.window("warc_ts", "1 hour").alias("win"), host.alias("host"), "lang"
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("win.start").alias("window_start"), "host", "lang", "n_pages")
+    )
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    assert g.issubset(e)
+    assert len(g) > 0
+
+
+def test_streaming_parse_records(spark, landing_dir):
+    stream = stream_pages(spark, landing_dir)
+    parsed = streaming_parse_records(stream).select(
+        "url", "target_uri", "warc_type", "error"
+    )
+    got = run_available_now(parsed, "parse_test")
+    rows = got.collect()
+    assert len(rows) == 300
+    assert all(r.target_uri == r.url and r.error is None for r in rows)
+
+
+def test_streaming_dedup(spark, landing_dir):
+    stream = stream_pages(spark, landing_dir)
+    got = run_available_now(streaming_url_dedup(stream), "dedup_test")
+    n_distinct_batch = spark.read.parquet(landing_dir).select("url").distinct().count()
+    assert got.count() == n_distinct_batch

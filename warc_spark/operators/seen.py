@@ -1,0 +1,371 @@
+"""URL-seen set (SURVEY.md §2.B E4/E5): the frontier's membership state.
+
+Three layers, composed:
+
+1. **Exact oracle**: ``left_anti`` join against the seen table — always
+   correct, one shuffle on url. This is the correctness baseline and the
+   verifier for the probabilistic paths.
+2. **Partitioned Bloom blobs**: the 10^10-URL design. The seen set is held
+   as one Bloom bitmap *per host-hash bucket* (BinaryType blob per bucket,
+   built with ``applyInPandas``), so membership state is distributed,
+   incrementally mergeable (bitwise OR), and probed via a co-partitioned
+   (or broadcast, while small) join + vectorized numpy bit-test — never a
+   driver-side filter. Spark's own ``DataFrame.stat.bloomFilter`` builds one
+   driver-resident filter (rejected: 10^10 urls @ 1% fpp ≈ 12 GB on the
+   driver); per-bucket blobs scale horizontally with the bucket count.
+   Bloom guarantees no false negatives, so ``definitely_new`` is safe to
+   fetch directly; the ``maybe_seen`` remainder (~fpp of candidates) goes
+   through the exact anti-join — the expensive join shrinks by ~100x.
+3. **Cuckoo-filter fallback** (E5): same partitioned-blob layout but
+   supporting deletion (bucketed fingerprints), for recrawl semantics where
+   urls age out of the seen set.
+
+All hashing is seed-pinned (pandas siphash with fixed keys) so blobs built
+on any executor are identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+BLOOM_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType(), False),
+        StructField("blob", BinaryType(), False),
+        StructField("n_items", LongType(), False),
+    ]
+)
+
+_HASH_KEY_1 = "warcsparkbloomh1"
+_HASH_KEY_2 = "warcsparkbloomh2"
+
+
+def _hash2(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    arr = urls.astype(object).to_numpy()
+    h1 = pd.util.hash_array(arr, hash_key=_HASH_KEY_1)
+    h2 = pd.util.hash_array(arr, hash_key=_HASH_KEY_2)
+    return h1, h2
+
+
+def bucket_of(url_col, n_buckets: int):
+    """Deterministic bucket from the url's host — co-locates a host's urls
+    with its membership blob (JVM-side, xxhash64)."""
+    host = F.lower(F.regexp_extract(url_col, r"//([^/:?#]+)", 1))
+    return F.pmod(F.xxhash64(host), F.lit(n_buckets)).cast("int")
+
+
+def _bit_positions(h1: np.ndarray, h2: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing h1 + i*h2 mod m."""
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(
+            np.int64
+        )
+
+
+class BloomSeenSet:
+    """Partitioned-Bloom membership state.
+
+    Parameters are explicit: ``m_bits`` per bucket and ``k`` hashes; at
+    10^10 urls over 65k buckets that is ~150k urls/bucket → m_bits=2**21
+    (256 KiB/blob, 16 GB total across the cluster) for ~1% fpp with k=7.
+    Sandbox defaults are smaller but the layout is identical.
+    """
+
+    def __init__(self, n_buckets: int = 64, m_bits: int = 1 << 17, k: int = 7):
+        assert m_bits % 8 == 0
+        self.n_buckets = n_buckets
+        self.m_bits = m_bits
+        self.k = k
+
+    # -- build ----------------------------------------------------------
+    def build_blobs(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
+        """urls -> one (bucket, blob, n_items) row per bucket. One shuffle
+        on bucket; blob build is vectorized numpy inside applyInPandas."""
+        m_bits, k = self.m_bits, self.k
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            arr = np.zeros(m_bits // 8, dtype=np.uint8)
+            h1, h2 = _hash2(pdf["_url"])
+            pos = _bit_positions(h1, h2, k, m_bits).ravel()
+            np.bitwise_or.at(arr, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+            return pd.DataFrame(
+                {
+                    "bucket": [int(pdf["_bucket"].iloc[0])],
+                    "blob": [arr.tobytes()],
+                    "n_items": [len(pdf)],
+                }
+            )
+
+        return (
+            urls.select(
+                F.col(url_col).alias("_url"),
+                bucket_of(F.col(url_col), self.n_buckets).alias("_bucket"),
+            )
+            .groupBy("_bucket")
+            .applyInPandas(build, BLOOM_SCHEMA)
+        )
+
+    def merge_blobs(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        """Incremental state update: bitwise-OR blobs bucket-wise (full
+        outer on bucket; missing side contributes an empty bitmap)."""
+        m_bytes = self.m_bits // 8
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = np.zeros(m_bytes, dtype=np.uint8)
+            n = 0
+            for blob, cnt in zip(pdf["blob"], pdf["n_items"]):
+                if blob is not None:
+                    acc |= np.frombuffer(bytes(blob), dtype=np.uint8)
+                    n += int(cnt)
+            return pd.DataFrame(
+                {"bucket": [int(pdf["bucket"].iloc[0])], "blob": [acc.tobytes()], "n_items": [n]}
+            )
+
+        return a.unionByName(b).groupBy("bucket").applyInPandas(merge, BLOOM_SCHEMA)
+
+    # -- probe ----------------------------------------------------------
+    def probe(
+        self, candidates: DataFrame, blobs: DataFrame, url_col: str = "url"
+    ) -> DataFrame:
+        """Adds ``maybe_seen: boolean``. Join on bucket (broadcast while the
+        blob table is small; at scale both sides are hash-partitioned on
+        bucket so the join is co-located), then numpy bit-test per batch."""
+        m_bits, k = self.m_bits, self.k
+
+        def test(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = np.zeros(len(pdf), dtype=bool)
+            if len(pdf):
+                blob = pdf["blob"].iloc[0]
+                if blob is not None:
+                    arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                    h1, h2 = _hash2(pdf[url_col])
+                    pos = _bit_positions(h1, h2, k, m_bits)
+                    bits = (arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+                    out = bits.all(axis=1)
+            res = pdf.drop(columns=["blob", "n_items"]).copy()
+            res["maybe_seen"] = out
+            return res
+
+        from pyspark.sql.types import BooleanType
+
+        with_bucket = candidates.withColumn(
+            "bucket", bucket_of(F.col(url_col), self.n_buckets)
+        )
+        out_schema = StructType(
+            list(with_bucket.schema.fields) + [StructField("maybe_seen", BooleanType())]
+        )
+        joined = with_bucket.join(F.broadcast(blobs), on="bucket", how="left")
+        return (
+            joined.groupBy("bucket")
+            .applyInPandas(test, out_schema)
+            .drop("bucket")
+        )
+
+    def filter_new(
+        self,
+        candidates: DataFrame,
+        blobs: DataFrame | None,
+        seen_exact: DataFrame | None,
+        url_col: str = "url",
+    ) -> DataFrame:
+        """The composed scale path: bloom-prefilter, then exact anti-join
+        only for the maybe-seen sliver. With no blobs yet, pure exact path.
+        Result: candidate rows that are definitely not in the seen set."""
+        if blobs is None:
+            if seen_exact is None:
+                return candidates
+            return candidates.join(
+                seen_exact.select(F.col(url_col)), on=url_col, how="left_anti"
+            )
+        probed = self.probe(candidates, blobs, url_col)
+        definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        if seen_exact is not None:
+            rescued = maybe.join(
+                seen_exact.select(F.col(url_col)), on=url_col, how="left_anti"
+            )
+            return definitely_new.unionByName(rescued)
+        return definitely_new
+
+
+def exact_new_urls(
+    candidates: DataFrame, seen: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """The exact-oracle membership filter: one left_anti shuffle join."""
+    return candidates.join(seen.select(F.col(url_col)), on=url_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo filter (deletion-capable fallback, E5)
+# ---------------------------------------------------------------------------
+
+CUCKOO_SCHEMA = BLOOM_SCHEMA  # same (bucket, blob, n_items) layout
+
+
+class CuckooSeenSet:
+    """Partitioned cuckoo filter: per host-hash bucket, a table of
+    ``n_slots`` uint16 fingerprints in ``buckets_per_table x 4`` layout.
+    Supports delete (recrawl). Kernel is numpy; the insert loop relocates
+    at most ``max_kicks`` times per item (batch-level Python, not per-row
+    Spark)."""
+
+    def __init__(self, n_buckets: int = 64, table_buckets: int = 1 << 12, max_kicks: int = 200):
+        self.n_buckets = n_buckets
+        self.table_buckets = table_buckets
+        self.max_kicks = max_kicks
+
+    def _fingerprint(self, urls: pd.Series) -> np.ndarray:
+        h = pd.util.hash_array(urls.astype(object).to_numpy(), hash_key=_HASH_KEY_1)
+        fp = (h & np.uint64(0xFFFF)).astype(np.uint16)
+        return np.where(fp == 0, np.uint16(1), fp)  # 0 = empty slot
+
+    def _index(self, urls: pd.Series) -> np.ndarray:
+        h = pd.util.hash_array(urls.astype(object).to_numpy(), hash_key=_HASH_KEY_2)
+        return (h % np.uint64(self.table_buckets)).astype(np.int64)
+
+    def _alt_index(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        fp_hash = pd.util.hash_array(fp.astype(np.uint64), hash_key=_HASH_KEY_2)
+        return ((idx.astype(np.uint64) ^ fp_hash) % np.uint64(self.table_buckets)).astype(
+            np.int64
+        )
+
+    def _empty_table(self) -> np.ndarray:
+        return np.zeros((self.table_buckets, 4), dtype=np.uint16)
+
+    def _insert_all(self, table: np.ndarray, urls: pd.Series) -> int:
+        import random
+
+        rng = random.Random(42)
+        fps = self._fingerprint(urls)
+        idxs = self._index(urls)
+        alts = self._alt_index(idxs, fps)
+        inserted = 0
+        for fp, i1, i2 in zip(fps, idxs, alts):
+            fp = np.uint16(fp)
+            placed = False
+            for i in (i1, i2):
+                row = table[i]
+                empty = np.flatnonzero(row == 0)
+                if empty.size:
+                    table[i, empty[0]] = fp
+                    placed = True
+                    break
+            if not placed:
+                i = int(i1)
+                cur = fp
+                for _ in range(self.max_kicks):
+                    slot = rng.randrange(4)
+                    cur, table[i, slot] = table[i, slot], cur
+                    i = int(self._alt_index(np.array([i]), np.array([cur], dtype=np.uint16))[0])
+                    row = table[i]
+                    empty = np.flatnonzero(row == 0)
+                    if empty.size:
+                        table[i, empty[0]] = cur
+                        placed = True
+                        break
+                if not placed:
+                    raise RuntimeError("cuckoo filter over capacity; grow table_buckets")
+            inserted += 1
+        return inserted
+
+    def build_blobs(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            table = self._empty_table()
+            n = self._insert_all(table, pdf["_url"])
+            return pd.DataFrame(
+                {
+                    "bucket": [int(pdf["_bucket"].iloc[0])],
+                    "blob": [table.tobytes()],
+                    "n_items": [n],
+                }
+            )
+
+        return (
+            urls.select(
+                F.col(url_col).alias("_url"),
+                bucket_of(F.col(url_col), self.n_buckets).alias("_bucket"),
+            )
+            .groupBy("_bucket")
+            .applyInPandas(build, CUCKOO_SCHEMA)
+        )
+
+    def delete_urls(self, blobs: DataFrame, urls: DataFrame, url_col: str = "url") -> DataFrame:
+        """Remove urls from the filter (the operation Bloom cannot do)."""
+        tb = self.table_buckets
+
+        def delete(pdf: pd.DataFrame) -> pd.DataFrame:
+            blob = pdf["blob"].iloc[0]
+            table = (
+                np.frombuffer(bytes(blob), dtype=np.uint16).reshape(tb, 4).copy()
+                if blob is not None
+                else self._empty_table()
+            )
+            todel = pdf[pdf["_url"].notna()]["_url"]
+            removed = 0
+            if len(todel):
+                fps = self._fingerprint(todel)
+                idxs = self._index(todel)
+                alts = self._alt_index(idxs, fps)
+                for fp, i1, i2 in zip(fps, idxs, alts):
+                    for i in (i1, i2):
+                        hit = np.flatnonzero(table[i] == fp)
+                        if hit.size:
+                            table[i, hit[0]] = 0
+                            removed += 1
+                            break
+            n = int(pdf["n_items"].iloc[0] or 0) - removed
+            return pd.DataFrame(
+                {"bucket": [int(pdf["bucket"].iloc[0])], "blob": [table.tobytes()], "n_items": [n]}
+            )
+
+        with_bucket = urls.select(
+            F.col(url_col).alias("_url"),
+            bucket_of(F.col(url_col), self.n_buckets).alias("bucket"),
+        )
+        joined = blobs.join(with_bucket, on="bucket", how="left")
+        return joined.groupBy("bucket").applyInPandas(delete, CUCKOO_SCHEMA)
+
+    def probe(self, candidates: DataFrame, blobs: DataFrame, url_col: str = "url") -> DataFrame:
+        tb = self.table_buckets
+
+        def test(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = np.zeros(len(pdf), dtype=bool)
+            if len(pdf):
+                blob = pdf["blob"].iloc[0]
+                if blob is not None:
+                    table = np.frombuffer(bytes(blob), dtype=np.uint16).reshape(tb, 4)
+                    fps = self._fingerprint(pdf[url_col])
+                    idxs = self._index(pdf[url_col])
+                    alts = self._alt_index(idxs, fps)
+                    out = ((table[idxs] == fps[:, None]).any(axis=1)) | (
+                        (table[alts] == fps[:, None]).any(axis=1)
+                    )
+            res = pdf.drop(columns=["blob", "n_items"]).copy()
+            res["maybe_seen"] = out
+            return res
+
+        from pyspark.sql.types import BooleanType
+
+        with_bucket = candidates.withColumn(
+            "bucket", bucket_of(F.col(url_col), self.n_buckets)
+        )
+        out_schema = StructType(
+            list(with_bucket.schema.fields) + [StructField("maybe_seen", BooleanType())]
+        )
+        return (
+            with_bucket.join(F.broadcast(blobs), on="bucket", how="left")
+            .groupBy("bucket")
+            .applyInPandas(test, out_schema)
+            .drop("bucket")
+        )

@@ -1,0 +1,7 @@
+from .stream import (  # noqa: F401
+    stream_pages,
+    streaming_parse_records,
+    streaming_host_rollup,
+    streaming_url_dedup,
+    run_available_now,
+)
