@@ -35,10 +35,10 @@ spark = get_spark(app="scaling_%%d" %% cores, master="local[%%d]" %% cores,
 synth_pages(spark, 2000, seed=7).count()
 tmp = tempfile.mkdtemp(prefix="scal_")
 pages = synth_pages(spark, n_pages, seed=42)
-seeds = synth_seeds(spark, n_pages, n_seeds=64, seed=42)
+seeds = synth_seeds(spark, n_pages, n_seeds=4000, seed=42)
 eng = FrontierEngine(spark, pages, SnapStore(tmp),
-                     config=FrontierConfig(max_batches=%(batches)d, default_budget=96,
-                                           bloom_buckets=32, bloom_bits=1 << 18))
+                     config=FrontierConfig(max_batches=%(batches)d, default_budget=256,
+                                           bloom_buckets=32, bloom_bits=1 << 20))
 t0 = time.time()
 manifests = eng.run(seeds)
 dt = time.time() - t0
@@ -62,8 +62,8 @@ def run_at(cores: int, n_pages: int, batches: int) -> dict:
 
 
 def main() -> None:
-    n_pages = int(os.environ.get("SCALING_PAGES", "60000"))
-    batches = int(os.environ.get("SCALING_BATCHES", "5"))
+    n_pages = int(os.environ.get("SCALING_PAGES", "200000"))
+    batches = int(os.environ.get("SCALING_BATCHES", "4"))
     low, high = 8, 32
     r_low = run_at(low, n_pages, batches)
     r_high = run_at(high, n_pages, batches)

@@ -54,12 +54,13 @@ def make_budgets_df(spark):
 
 
 def collect_batches(store, spark, n):
+    """Crawl order is data: (priority desc, url) within each batch."""
     out = []
     for k in range(n):
         rows = (
             store.read_df(spark, k, "scheduled")
-            .select("url", "priority", "rank_in_batch")
-            .orderBy("rank_in_batch")
+            .select("url", "priority")
+            .orderBy(F.desc("priority"), "url")
             .collect()
         )
         out.append([(r.url, r.priority) for r in rows])

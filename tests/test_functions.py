@@ -1,0 +1,145 @@
+"""Dedup/similarity/text operator properties beyond the oracle harness:
+LSH recall guarantees, SimHash banding completeness, lang-id sanity,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from warc_spark.functions import dedup, similarity, text
+from warc_spark.functions.multimodal import decode_media, frame_sample_stub
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "pack my box with five dozen liquor jugs before the party starts",
+        "completely unrelated text about distributed query engines and spark",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t))                      # exact dup
+        rows.append((i * 10 + 2, t.replace("the", "a")))  # near dup
+    rows.append((99, "singleton document with nothing in common whatsoever"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self, spark, docs):
+        kept = dedup.dedup_exact(docs, "doc_id").collect()
+        ids = sorted(r.doc_id for r in kept)
+        assert 0 in ids and 1 not in ids
+        assert 10 in ids and 11 not in ids
+
+    def test_minhash_finds_exact_and_near_dups(self, spark, docs):
+        pairs = dedup.minhash_lsh_pairs(
+            docs, n_hashes=64, bands=16, shingle=3, jaccard_threshold=0.3
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert (0, 1) in got and (10, 11) in got and (20, 21) in got  # exact dups
+        for r in pairs:
+            assert r.jaccard >= 0.3
+        # exact dups have jaccard 1.0
+        j = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+        assert j[(0, 1)] == 1.0
+
+    def test_simhash_banding_complete_for_small_hamming(self, spark, docs):
+        # any pair with hamming<=3 must share one of the 4 16-bit chunks ->
+        # candidate generation cannot miss it; exact dups have hamming 0
+        pairs = dedup.simhash_near_dups(docs, max_hamming=3).collect()
+        got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+        assert got[(0, 1)] == 0 and got[(10, 11)] == 0
+
+    def test_embedding_near_dups(self, spark):
+        rng = np.random.RandomState(0)
+        base = rng.standard_normal((20, 16)).astype(np.float32)
+        rows = [(i, base[i].tolist()) for i in range(20)]
+        rows.append((100, (base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)).tolist()))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = dedup.embedding_near_dups(df, threshold=0.95).collect()
+        assert any({r.id_a, r.id_b} == {0, 100} for r in pairs)
+
+
+class TestSimilarity:
+    def test_bruteforce_topk_is_exact(self, spark):
+        rng = np.random.RandomState(1)
+        mat = rng.standard_normal((100, 8))
+        df = spark.createDataFrame(
+            [(i, mat[i].tolist()) for i in range(100)], "vec_id long, embedding array<float>"
+        )
+        q = mat[7].tolist()
+        got = [r.vec_id for r in similarity.cosine_topk_bruteforce(df, q, k=5).collect()]
+        # numpy ground truth (float32 storage like the DataFrame)
+        m32 = mat.astype(np.float32).astype(np.float64)
+        q32 = np.asarray(q, dtype=np.float64)
+        cos = (m32 @ q32) / (np.linalg.norm(m32, axis=1) * np.linalg.norm(q32))
+        expected = list(np.argsort([(-round(c, 6), i) for i, c in enumerate(cos)], axis=0)[:, 0][:5])
+        assert got[0] == 7  # itself
+        assert set(got) == set(int(x) for x in np.argsort(-np.round(cos, 6))[:5])
+
+    def test_lsh_probe_includes_query_bucket(self, spark):
+        rng = np.random.RandomState(2)
+        mat = rng.standard_normal((200, 8))
+        df = spark.createDataFrame(
+            [(i, mat[i].tolist()) for i in range(200)], "vec_id long, embedding array<float>"
+        )
+        got = similarity.cosine_topk_lsh(df, mat[3].tolist(), k=3, n_planes=6, probe_hamming=2).collect()
+        assert got and got[0].vec_id == 3  # query vector always lands in its own bucket
+
+
+class TestText:
+    def test_features(self, spark):
+        df = spark.createDataFrame(
+            [(1, "The cat, the hat!  A dog."), (2, "   x   ")], "id long, text string"
+        )
+        out = {r.id: r for r in text.with_text_features(df).collect()}
+        assert out[1].n_tokens == 6
+        assert out[2].n_tokens == 1
+        assert 0 < out[1].punct_ratio < 0.2
+        assert out[1].fingerprint == out[1].fingerprint  # deterministic
+        # fingerprint is whitespace/case-insensitive
+        df2 = spark.createDataFrame(
+            [(1, "the CAT,   the hat!  a dog."),], "id long, text string"
+        )
+        fp2 = text.with_text_features(df2).collect()[0].fingerprint
+        assert fp2 == text.with_text_features(
+            spark.createDataFrame([(1, "the cat, the hat! a dog.")], "id long, text string")
+        ).collect()[0].fingerprint
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog went to the park and it is nice"),
+                (2, "der hund und die katze sind nicht in das haus"),
+                (3, "le chat et la souris sont dans les jardins"),
+                (4, "zzz qqq xxx"),
+            ],
+            "id long, text string",
+        )
+        got = {r.id: r.pred for r in df.select("id", text.lang_id_udf("text").alias("pred")).collect()}
+        assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
+
+
+class TestMultimodal:
+    def test_decode_fake_schema_and_determinism(self, spark):
+        df = spark.createDataFrame([(b"blob-a",), (b"blob-b",)], "media binary")
+        out1 = {r.media_id: r for r in decode_media(df, "media", "image").collect()}
+        out2 = {r.media_id: r for r in decode_media(df, "media", "image").collect()}
+        assert out1.keys() == out2.keys() and len(out1) == 2
+        r = next(iter(out1.values()))
+        assert r.kind == "image" and len(r.feature) == 8 and r.width >= 1
+
+    def test_decode_real_raises(self, spark):
+        df = spark.createDataFrame([(b"x",)], "media binary")
+        with pytest.raises(NotImplementedError):
+            decode_media(df, "media", "image", fake=False)
+
+    def test_frame_sampling(self, spark):
+        df = spark.createDataFrame(
+            [("m1", "video", 1000)], "media_id string, kind string, duration_ms int"
+        )
+        frames = frame_sample_stub(df, every_ms=250).collect()
+        assert [f.frame_ts_ms for f in frames] == [0, 250, 500, 750, 1000]

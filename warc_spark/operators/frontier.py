@@ -38,7 +38,7 @@ from pyspark.sql.types import ArrayType, StringType
 
 from ..plans.snapstore import SnapStore
 from .politeness import apply_politeness
-from .priority import global_order_keys, salted_priority_order
+from .priority import salted_priority_order
 from .robots import apply_robots, url_host
 from .seen import BloomSeenSet
 
@@ -59,6 +59,7 @@ class FrontierConfig:
 
 
 _extract_links = None
+_extract_text = None
 
 
 def _links_udf():
@@ -69,6 +70,16 @@ def _links_udf():
 
         _extract_links = F.pandas_udf(extract_links_kernel, ArrayType(StringType()))
     return _extract_links
+
+
+def _text_udf():
+    """Vectorized text extraction (the byte-identity invariant kernel)."""
+    global _extract_text
+    if _extract_text is None:
+        from ..sources.pages import extract_text_kernel
+
+        _extract_text = F.pandas_udf(extract_text_kernel, StringType())
+    return _extract_text
 
 
 class FrontierEngine:
@@ -154,8 +165,11 @@ class FrontierEngine:
         # 1. membership: bloom prefilter + exact rescue (no false drops)
         candidates = self.bloom.filter_new(frontier, blobs, seen)
 
-        # 2. robots gate — blocked urls are permanently retired
-        allowed = apply_robots(candidates, self.robots)
+        # 2. robots gate — blocked urls are permanently retired.
+        # ``allowed`` feeds three downstream consumers (politeness cut,
+        # deferred set, blocked diff): persist so the probe/gate chain runs
+        # once per batch, not once per consumer.
+        allowed = apply_robots(candidates, self.robots).persist()
         blocked = (
             candidates.join(allowed.select("url"), "url", "left_anti")
             if self.robots is not None
@@ -168,15 +182,19 @@ class FrontierEngine:
             self.budgets,
             default_budget=cfg.default_budget,
         )
-        # salted fetch-order partitioning (the executor-side hot path)
+        # salted fetch-order partitioning (the executor-side hot path).
+        # Crawl order is data: (batch, priority desc, url) is a total order —
+        # no global rank window (a single-partition serialization point).
         scheduled = salted_priority_order(
             scheduled, n_salts=cfg.n_salts
-        )
-        scheduled = global_order_keys(scheduled, batch)
+        ).withColumn("batch", F.lit(batch))
 
-        # 4. fetch simulation: look the url up in the pages corpus
+        # 4. fetch simulation + page processing: the politeness cut bounds
+        # |scheduled|, so broadcast it into the pages scan — the (huge)
+        # pages table is never shuffled. Each fetched page does the real
+        # pipeline work: link extraction + text extraction + payload digest.
         fetched = (
-            scheduled.join(self.pages, "url", "left")
+            self.pages.join(F.broadcast(scheduled), "url", "right")
             .withColumn("status", F.when(F.col("html").isNotNull(), "found").otherwise("missing"))
             .withColumn(
                 "links",
@@ -184,18 +202,33 @@ class FrontierEngine:
                     F.col("html").isNotNull(), _links_udf()(F.col("html"))
                 ).otherwise(F.array().cast("array<string>")),
             )
+            .withColumn(
+                "text_extracted",
+                F.when(F.col("html").isNotNull(), _text_udf()(F.col("html"))),
+            )
+            .withColumn(
+                "digest",
+                F.when(
+                    F.col("html").isNotNull(),
+                    F.concat(F.lit("sha1:"), F.sha1(F.col("html"))),
+                ),
+            )
             .drop("html")
+            .persist()
         )
 
         sched_info = self.store.write_df(
             fetched.select(
-                "url", "host", "priority", "batch", "rank_in_batch", "salt",
+                "url", "host", "priority", "batch", "salt",
                 "status", F.size("links").alias("n_links"),
+                "text_extracted", "digest",
             ),
             batch,
             "scheduled",
         )
         if sched_info["rows"] == 0:
+            allowed.unpersist()
+            fetched.unpersist()
             return None
 
         fetched_back = self.store.read_df(self.spark, batch, "scheduled")
@@ -258,5 +291,7 @@ class FrontierEngine:
             if metrics["wall_sec"]
             else None
         )
+        allowed.unpersist()
+        fetched.unpersist()
         self.store.commit(batch, tables, metrics, self.cfg.asdict())
         return self.store.manifest(batch)

@@ -590,19 +590,24 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("warc_parse_agg")
 def warc_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship ingest path: synth pages -> vectorized WARC parse ->
-    byte-identity check -> per-lang/host agg (M1 slice from SURVEY §7)."""
-    from .kernels.urlnorm import host_series
-    import pandas as pd  # noqa: F401
+    """Flagship ingest path (M1 slice, SURVEY §7): synth Common-Crawl-style
+    pages -> vectorized WARC parse -> *byte-identical extracted text per
+    url* verification (the BASELINE.json per-row invariant) -> per-host/lang
+    agg. n_verified must equal n_pages on every row."""
+    from pyspark.sql.types import StringType
 
-    pages = synth_pages(spark, 2000, seed=42)
+    from .sources.pages import extract_text_from_payload_kernel
+
+    extract_udf = F.pandas_udf(extract_text_from_payload_kernel, StringType())
+    pages = synth_pages(spark, 20_000, seed=42)
     parsed = parse_warc_column(pages, "html", keep=["url", "lang", "text"])
     host = F.regexp_extract(F.col("url"), r"//([^/]+)/", 1)
     return (
         parsed.withColumn(
             "text_identical",
-            F.expr("substring(decode(payload, 'ISO-8859-1'), 1, 2) IS NOT NULL")
-            & (F.col("target_uri") == F.col("url")),
+            (extract_udf(F.col("payload")) == F.col("text"))
+            & (F.col("target_uri") == F.col("url"))
+            & F.col("error").isNull(),
         )
         .groupBy(host.alias("host"), "lang")
         .agg(

@@ -221,6 +221,14 @@ def extract_links_kernel(html: pd.Series) -> pd.Series:
     return body.str.findall(_HREF_RE)
 
 
+def extract_text_from_payload_kernel(payload: pd.Series) -> pd.Series:
+    """Parsed-record payload (HTTP response bytes) -> extracted text.
+    Same extraction as extract_text_kernel, one framing layer down."""
+    s = payload.map(lambda b: bytes(b).decode("latin-1"))
+    body = s.str.split("\r\n\r\n", n=1).str[1]
+    return body.str.extract(_TEXT_RE, expand=False)
+
+
 def synth_seeds(
     spark: SparkSession, n_pages: int, n_seeds: int = 20, seed: int = 42,
     n_hosts: int | None = None,

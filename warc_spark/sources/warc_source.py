@@ -97,9 +97,7 @@ def _records_of_file(name: str, data: bytes, strict: bool, payload_cap: int | No
                 "header_names": [n for n, _ in rec.headers],
                 "warc_type": rec.type,
                 "record_id": rec.record_id,
-                "warc_date": pd.to_datetime(
-                    rec.date, format="%Y-%m-%dT%H:%M:%SZ", errors="coerce"
-                ),
+                "warc_date": rec.date,  # raw string; vectorized to_datetime per batch
                 "target_uri": rec.url,
                 "ip_address": rec.ip_address,
                 "content_type": rec.get("Content-Type"),
@@ -133,11 +131,19 @@ def read_warc(
                 rows.extend(
                     _records_of_file(os.path.basename(name), bytes(data), strict, payload_cap)
                 )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
-            )
+            yield _finalize_batch(rows)
 
     return files.select("path", "content").mapInPandas(gen, WARC_RECORD_SCHEMA)
+
+
+def _finalize_batch(rows: list[dict]) -> pd.DataFrame:
+    """rows -> batch DataFrame with the date column converted once,
+    vectorized (a per-record to_datetime was the parse hot-spot)."""
+    out = pd.DataFrame(rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields])
+    out["warc_date"] = pd.to_datetime(
+        out["warc_date"], format="%Y-%m-%dT%H:%M:%SZ", errors="coerce"
+    )
+    return out
 
 
 def parse_warc_column(
@@ -153,25 +159,19 @@ def parse_warc_column(
         [df.schema[c] for c in keep] + list(WARC_RECORD_SCHEMA.fields)
     )
 
+    empty = {f.name: None for f in WARC_RECORD_SCHEMA.fields}
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for data in pdf[bytes_col]:
-                data = bytes(data)
-                if data[:2] == GZIP_MAGIC:
-                    rows = _records_of_file("", data, strict, None)
-                else:
-                    rows = _records_of_file("", data, strict, None)
-                recs.append(rows[0] if rows else None)
-            rec_df = pd.DataFrame(
-                [r or {k: None for k in (f.name for f in WARC_RECORD_SCHEMA.fields)} for r in recs],
-                columns=[f.name for f in WARC_RECORD_SCHEMA.fields],
-            )
-            out = pd.concat(
+                rows = _records_of_file("", bytes(data), strict, None)
+                recs.append(rows[0] if rows else empty)
+            rec_df = _finalize_batch(recs)
+            yield pd.concat(
                 [pdf[keep].reset_index(drop=True), rec_df.reset_index(drop=True)],
                 axis=1,
             )
-            yield out
 
     return df.mapInPandas(gen, out_schema)
 
