@@ -27,6 +27,47 @@ def topk_per_key(
     )
 
 
+def flag_politeness(
+    frontier: DataFrame,
+    budgets: DataFrame | None = None,
+    default_budget: int = 8,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    url_col: str = "url",
+    flag_col: str = "kept",
+    presort: list[Column] | None = None,
+) -> DataFrame:
+    """Rank the frontier per host and mark the within-budget rows with a
+    boolean instead of filtering — one window pass feeds both the scheduled
+    set (``kept``) and the deferred remainder (``NOT kept``), so the
+    frontier loop never anti-joins to recover the deferral.
+
+    ``presort`` columns lead the window order: passing ``[desc(allowed)]``
+    ranks disallowed rows below every allowed row of the host, so allowed
+    rows receive exactly the ranks they would get after filtering — one
+    window serves both the gate and the budget.
+
+    ``budgets(host, max_fetches_per_batch)`` is broadcast (it is tiny —
+    one row per host with a non-default budget)."""
+    order = list(presort or []) + [F.desc(priority_col), F.col(url_col)]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    ranked = frontier.withColumn("_rn", F.row_number().over(w))
+    if budgets is None:
+        out = ranked.withColumn(flag_col, F.col("_rn") <= default_budget)
+    else:
+        b = F.broadcast(budgets.select(host_col, "max_fetches_per_batch"))
+        out = (
+            ranked.join(b, on=host_col, how="left")
+            .withColumn(
+                flag_col,
+                F.col("_rn")
+                <= F.coalesce(F.col("max_fetches_per_batch"), F.lit(default_budget)),
+            )
+            .drop("max_fetches_per_batch")
+        )
+    return out.drop("_rn")
+
+
 def apply_politeness(
     frontier: DataFrame,
     budgets: DataFrame | None = None,
@@ -35,23 +76,11 @@ def apply_politeness(
     priority_col: str = "priority",
     url_col: str = "url",
 ) -> DataFrame:
-    """Cut the frontier to at most budget-per-host urls for this batch.
-
-    ``budgets(host, max_fetches_per_batch)`` is broadcast (it is tiny —
-    one row per host with a non-default budget)."""
-    w = Window.partitionBy(host_col).orderBy(F.desc(priority_col), F.col(url_col))
-    ranked = frontier.withColumn("_rn", F.row_number().over(w))
-    if budgets is None:
-        kept = ranked.filter(F.col("_rn") <= default_budget)
-    else:
-        b = F.broadcast(budgets.select(host_col, "max_fetches_per_batch"))
-        kept = (
-            ranked.join(b, on=host_col, how="left")
-            .withColumn(
-                "_budget",
-                F.coalesce(F.col("max_fetches_per_batch"), F.lit(default_budget)),
-            )
-            .filter(F.col("_rn") <= F.col("_budget"))
-            .drop("max_fetches_per_batch", "_budget")
+    """Cut the frontier to at most budget-per-host urls for this batch."""
+    return (
+        flag_politeness(
+            frontier, budgets, default_budget, host_col, priority_col, url_col
         )
-    return kept.drop("_rn")
+        .filter(F.col("kept"))
+        .drop("kept")
+    )

@@ -36,16 +36,19 @@ def url_path(col):
     return F.when(path == "", "/").otherwise(path)
 
 
-def apply_robots(
+def flag_robots(
     frontier: DataFrame,
     robots: DataFrame | None,
     url_col: str = "url",
     host_col: str = "host",
+    flag_col: str = "robots_allowed",
 ) -> DataFrame:
-    """Drop urls disallowed by their host's rules. Unknown hosts (no rules
-    row) are allowed — matching common crawler semantics."""
+    """Add a ``robots_allowed`` boolean instead of filtering — lets one
+    persisted pass feed both the allowed path and the blocked/retired path
+    (no anti-join, no recompute). Unknown hosts (no rules row) are allowed —
+    matching common crawler semantics."""
     if robots is None:
-        return frontier
+        return frontier.withColumn(flag_col, F.lit(True))
     path = url_path(F.col(url_col))
     gated = frontier.join(
         F.broadcast(robots.select("host", "disallow_prefixes")),
@@ -56,4 +59,20 @@ def apply_robots(
         F.coalesce(F.col("disallow_prefixes"), F.array().cast("array<string>")),
         lambda p: path.startswith(p),
     )
-    return gated.filter(~blocked).drop("disallow_prefixes")
+    return gated.withColumn(flag_col, ~blocked).drop("disallow_prefixes")
+
+
+def apply_robots(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Drop urls disallowed by their host's rules."""
+    if robots is None:
+        return frontier
+    return (
+        flag_robots(frontier, robots, url_col, host_col)
+        .filter(F.col("robots_allowed"))
+        .drop("robots_allowed")
+    )

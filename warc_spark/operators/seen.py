@@ -172,6 +172,63 @@ class BloomSeenSet:
             .drop("bucket")
         )
 
+    # -- broadcast-map probe (the small-state fast path) -----------------
+    def collect_blob_map(self, blobs: DataFrame) -> dict[int, bytes]:
+        """Materialize the blob table as a driver dict {bucket: blob}. Used
+        while total blob bytes are broadcast-sized (sandbox / small-cluster
+        path); at 10^10-URL scale ``probe`` keeps the state distributed."""
+        return {int(r["bucket"]): bytes(r["blob"]) for r in blobs.collect()}
+
+    @staticmethod
+    def merge_blob_map(
+        blob_map: dict[int, bytes], new_blobs_rows: list
+    ) -> dict[int, bytes]:
+        """Driver-side incremental OR of freshly-built blobs into the map
+        (mirrors merge_blobs; the written state stays distributed)."""
+        out = dict(blob_map)
+        for r in new_blobs_rows:
+            b = int(r["bucket"])
+            blob = bytes(r["blob"])
+            if b in out:
+                a = np.frombuffer(out[b], dtype=np.uint8) | np.frombuffer(
+                    blob, dtype=np.uint8
+                )
+                out[b] = a.tobytes()
+            else:
+                out[b] = blob
+        return out
+
+    def probe_with_map(
+        self, candidates: DataFrame, blob_map_bc, url_col: str = "url"
+    ) -> DataFrame:
+        """Adds ``maybe_seen`` via a *broadcast* of the blob map — zero
+        shuffle of the candidate side (vs ``probe``'s co-partitioned join).
+        ``blob_map_bc`` is a ``sc.broadcast({bucket: blob_bytes})``."""
+        m_bits, k = self.m_bits, self.k
+
+        def test(url: pd.Series, bucket: pd.Series) -> pd.Series:
+            mp = blob_map_bc.value
+            out = pd.Series(False, index=url.index)
+            if mp and len(url):
+                for b, grp in url.groupby(bucket.to_numpy()):
+                    blob = mp.get(int(b))
+                    if blob is None:
+                        continue
+                    arr = np.frombuffer(blob, dtype=np.uint8)
+                    h1, h2 = _hash2(grp)
+                    pos = _bit_positions(h1, h2, k, m_bits)
+                    bits = (arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+                    out.loc[grp.index] = bits.all(axis=1)
+            return out
+
+        from pyspark.sql.types import BooleanType
+
+        udf = F.pandas_udf(test, BooleanType())
+        return candidates.withColumn(
+            "maybe_seen",
+            udf(F.col(url_col), bucket_of(F.col(url_col), self.n_buckets)),
+        )
+
     def filter_new(
         self,
         candidates: DataFrame,

@@ -221,6 +221,22 @@ def extract_links_kernel(html: pd.Series) -> pd.Series:
     return body.str.findall(_HREF_RE)
 
 
+def extract_page_kernel(html: pd.Series) -> pd.DataFrame:
+    """html -> (links array<string>, text string) in ONE pass: the binary
+    column crosses the Arrow boundary once instead of once per kernel —
+    at 100 TB the html transfer dominates, so this halves the fetch-path
+    Python I/O vs separate links/text UDFs. Null html (fetch miss) yields
+    null links/text."""
+    s = html.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
+    body = s.str.split("\r\n\r\n", n=2).str[2]
+    return pd.DataFrame(
+        {
+            "links": body.str.findall(_HREF_RE),
+            "text": body.str.extract(_TEXT_RE, expand=False),
+        }
+    )
+
+
 def extract_text_from_payload_kernel(payload: pd.Series) -> pd.Series:
     """Parsed-record payload (HTTP response bytes) -> extracted text.
     Same extraction as extract_text_kernel, one framing layer down."""
@@ -238,7 +254,10 @@ def synth_seeds(
     n_hosts = n_hosts or max(8, n_pages // 200)
     ids = np.arange(0, n_seeds, dtype=np.uint64) * np.uint64(7) % np.uint64(n_pages)
     urls = _urls_for(ids, n_hosts, seed)
+    # priority stays in (0.5, 1.0]: strictly positive at any seed-list size
+    # (decayed link priorities must clear FrontierConfig.min_priority), and
+    # cycling gives deterministic ties broken by url downstream.
     pdf = pd.DataFrame(
-        {"url": urls, "priority": 1.0 - np.arange(n_seeds) * 1e-3}
+        {"url": urls, "priority": 1.0 - (np.arange(n_seeds) % 499) * 1e-3}
     ).drop_duplicates("url")
     return spark.createDataFrame(pdf)
