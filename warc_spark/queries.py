@@ -630,6 +630,213 @@ def media_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Relational breadth: pushdown scan, semi-join, having, as-of join, set ops
+# =========================================================================
+
+@register(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + scalar agg — the
+    predicate-pushdown/column-pruning showcase (explain shows PushedFilters
+    on shipdate/discount/quantity; ReadSchema is 4 columns, never the full
+    table)."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.09))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q4_priority_with_returns",
+    oracle="""
+    SELECT o.o_orderpriority AS orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    ORDER BY orderpriority
+    """,
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join + agg. The
+    semi join shuffles only the (pre-filtered, deduplicated) key column of
+    lineitem, never its payload columns."""
+    o = t(spark, sf_dir, "orders")
+    returned = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("orderpriority")
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_name AS cust_name, o.o_orderkey AS orderkey,
+           o.o_orderdate AS orderdate,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY totalprice DESC, orderkey
+    LIMIT 50
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-by-HAVING subquery as a semi-join source. The
+    heavy lineitem agg happens once; the qualifying-keys set is tiny and
+    broadcast back against orders — no second lineitem shuffle."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big).withColumnRenamed("l_orderkey", "_ok"),
+               l.l_orderkey == F.col("_ok"))
+        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            c.c_name.alias("cust_name"),
+            o.o_orderkey.alias("orderkey"),
+            o.o_orderdate.alias("orderdate"),
+            _dec("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .select("cust_name", "orderkey", "orderdate", "totalprice", "total_qty")
+        .orderBy(F.desc("totalprice"), "orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "events_asof_purchase",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts,
+           (SELECT p.event_id FROM events p
+            WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+              AND p.ts <= c.ts
+            ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS purchase_id
+    FROM events c
+    WHERE c.event_type = 'click'
+    ORDER BY click_id
+    """,
+)
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): for every click, the
+    most recent purchase by the same user at or before the click. Realized
+    as the scalable union+window plan — tag both streams, one shuffle on
+    user_id, running ``last(purchase, ignorenulls)`` over event time — NOT
+    a per-key loop or an O(n^2) range join. Ties (equal ts) break to the
+    highest purchase event_id, purchases sorting before clicks at equal ts."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("_is_p")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("_is_p")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("_is_p"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = purch.unionByName(clicks).withColumn(
+        "_last_p",
+        F.last(
+            F.when(F.col("_is_p") == 1, F.struct("ts", "event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        tagged.filter(F.col("_is_p") == 0)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("_last_p.event_id").alias("purchase_id"),
+        )
+        .orderBy("click_id")
+    )
+
+
+@register(
+    "doc_source_overlap",
+    oracle="""
+    WITH f AS (SELECT source,
+                      MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fp
+               FROM documents),
+    a AS (SELECT fp FROM f WHERE source = 'src0'),
+    b AS (SELECT fp FROM f WHERE source = 'src1')
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT fp FROM a INTERSECT SELECT fp FROM b)) AS n_common,
+      (SELECT COUNT(*) FROM (SELECT fp FROM a EXCEPT SELECT fp FROM b)) AS n_only_a,
+      (SELECT COUNT(*) FROM (SELECT fp FROM b EXCEPT SELECT fp FROM a)) AS n_only_b
+    """,
+)
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over content fingerprints: INTERSECT / EXCEPT of the
+    normalized-text hash between two crawl sources (cross-source dedup
+    accounting). Both sides hash-partition on the fingerprint; counts are
+    scalar."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    a = (
+        d.filter(F.col("source") == "src0")
+        .select(fp.alias("fp")).distinct().withColumn("in_a", F.lit(1))
+    )
+    b = (
+        d.filter(F.col("source") == "src1")
+        .select(fp.alias("fp")).distinct().withColumn("in_b", F.lit(1))
+    )
+    # one co-partitioned full-outer join + scalar agg covers INTERSECT and
+    # both EXCEPTs in a single distributed pass (no driver-side counting)
+    return a.join(b, "fp", "full").agg(
+        F.sum(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1).otherwise(0)
+        ).alias("n_common"),
+        F.sum(F.when(F.col("in_b").isNull(), 1).otherwise(0)).alias("n_only_a"),
+        F.sum(F.when(F.col("in_a").isNull(), 1).otherwise(0)).alias("n_only_b"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_REGISTRY)
 
