@@ -249,15 +249,31 @@ def synth_seeds(
     spark: SparkSession, n_pages: int, n_seeds: int = 20, seed: int = 42,
     n_hosts: int | None = None,
 ) -> DataFrame:
-    """Seed list: every 7th page id from the front of the id space, priority
-    descending — deterministic, same list the oracle simulator uses."""
-    n_hosts = n_hosts or max(8, n_pages // 200)
-    ids = np.arange(0, n_seeds, dtype=np.uint64) * np.uint64(7) % np.uint64(n_pages)
-    urls = _urls_for(ids, n_hosts, seed)
-    # priority stays in (0.5, 1.0]: strictly positive at any seed-list size
-    # (decayed link priorities must clear FrontierConfig.min_priority), and
-    # cycling gives deterministic ties broken by url downstream.
-    pdf = pd.DataFrame(
-        {"url": urls, "priority": 1.0 - (np.arange(n_seeds) % 499) * 1e-3}
-    ).drop_duplicates("url")
-    return spark.createDataFrame(pdf)
+    """Distributed deterministic seed list (same rows the oracle simulator
+    uses). Generated executor-side over ``spark.range`` — a driver-local
+    relation would be re-shipped to every task on every recompute, which at
+    a 10^10-URL frontier is exactly the wrong shape (real seed lists are a
+    table, not driver memory)."""
+    n_hosts_v = n_hosts or max(8, n_pages // 200)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                i = pdf["id"].to_numpy().astype(np.uint64)
+                ids = i * np.uint64(7) % np.uint64(n_pages)
+                yield pd.DataFrame(
+                    {
+                        "url": _urls_for(ids, n_hosts_v, seed),
+                        "priority": 1.0 - (i.astype(np.int64) % 499) * 1e-3,
+                    }
+                )
+
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n_seeds // 500 + 1))
+    df = spark.range(0, n_seeds, 1, parts).mapInPandas(
+        gen, "url string, priority double"
+    )
+    # duplicate urls keep their highest (earliest-index) priority, matching
+    # the driver-side seeds_pdf drop_duplicates semantics
+    from pyspark.sql import functions as F
+
+    return df.groupBy("url").agg(F.max("priority").alias("priority"))
