@@ -112,6 +112,7 @@ class FrontierEngine:
         robots: DataFrame | None = None,
         budgets: DataFrame | None = None,
         config: FrontierConfig | None = None,
+        pages_prepared: bool = False,
     ):
         self.spark = spark
         self.store = store
@@ -122,13 +123,18 @@ class FrontierEngine:
         # (on a real deployment this is the Iceberg table's bucket + sort
         # order). Every batch's fetch join then only shuffles the schedule
         # side; the pages side is a cached, pre-sorted exchange-free scan.
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        self.pages = (
-            pages.select("url", "html")
-            .repartition(n_part, "url")
-            .sortWithinPartitions("url")
-            .persist()
-        )
+        # ``pages_prepared=True`` says the caller already holds pages in
+        # exactly that cached layout (several engines sharing one corpus).
+        if pages_prepared:
+            self.pages = pages
+        else:
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            self.pages = (
+                pages.select("url", "html")
+                .repartition(n_part, "url")
+                .sortWithinPartitions("url")
+                .persist()
+            )
         self.bloom = BloomSeenSet(
             n_buckets=self.cfg.bloom_buckets, m_bits=self.cfg.bloom_bits
         )
