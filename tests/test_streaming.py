@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 from warc_spark.sources.pages import synth_pages
 from warc_spark.streaming import (
     run_available_now,
+    run_available_now_to_dir,
     stream_pages,
+    streaming_bloom_seen,
     streaming_host_rollup,
     streaming_parse_records,
     streaming_url_dedup,
@@ -60,3 +62,37 @@ def test_streaming_dedup(spark, landing_dir):
     got = run_available_now(streaming_url_dedup(stream), "dedup_test")
     n_distinct_batch = spark.read.parquet(landing_dir).select("url").distinct().count()
     assert got.count() == n_distinct_batch
+
+
+def test_streaming_bloom_seen_stateful_resume(spark, tmp_path):
+    """applyInPandasWithState URL-seen: first-seen-only emission across the
+    whole stream, and — the resume property — state survives a second
+    AvailableNow invocation through the streaming checkpoint: re-dropped
+    urls are NOT re-emitted."""
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    synth_pages(spark, 120, seed=42, partitions=2).write.mode("append").parquet(landing)
+
+    def drain():
+        stream = stream_pages(spark, landing, max_files_per_trigger=1)
+        return run_available_now_to_dir(streaming_bloom_seen(stream), out, ckpt)
+
+    got1 = drain()
+    urls1 = {r.url for r in got1.collect()}
+    expected = {r.url for r in spark.read.parquet(landing).select("url").collect()}
+    assert urls1 == expected  # every url emitted exactly once (fpp ~ 0 here)
+
+    # second drop: one file of pure repeats (already in bloom state) and
+    # one file of genuinely-new urls (different generator seed)
+    synth_pages(spark, 120, seed=42, partitions=1).write.mode("append").parquet(landing)
+    synth_pages(spark, 60, seed=99, partitions=1).write.mode("append").parquet(landing)
+
+    got2 = drain()  # resumes bloom state from the checkpoint
+    urls2 = {r.url for r in got2.collect()} - urls1  # sink is cumulative
+    new_expected = {
+        r.url for r in synth_pages(spark, 60, seed=99).select("url").collect()
+    }
+    # nothing from the repeated drop re-emitted; the genuinely-new urls are
+    assert urls2 & expected == set()
+    assert new_expected - urls1 <= urls2

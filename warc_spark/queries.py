@@ -618,6 +618,27 @@ def warc_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_bloom_seen_urls")
+def stream_bloom_seen_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming face of the URL-seen set: drop a synthetic
+    pages batch (with duplicates) into a landing dir, drain it through the
+    applyInPandasWithState bloom dedup (streaming/stream.py), return the
+    first-seen urls. Deterministic: same corpus, same hash keys."""
+    import tempfile
+
+    from .streaming import run_available_now, stream_pages, streaming_bloom_seen
+
+    landing = tempfile.mkdtemp(prefix="qstream_")
+    pages = synth_pages(spark, 2000, seed=42)
+    pages.write.mode("append").parquet(landing)
+    pages.write.mode("append").parquet(landing)  # a full duplicate drop
+    stream = stream_pages(spark, landing, max_files_per_trigger=8)
+    got = run_available_now(
+        streaming_bloom_seen(stream), "q_stream_bloom_seen"
+    )
+    return got.orderBy("url")
+
+
 @register("media_decode_fake")
 def media_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: treat html payload bytes as opaque media blobs,

@@ -67,21 +67,114 @@ def streaming_url_dedup(pages_stream: DataFrame, watermark: str = "2 hours") -> 
     return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
 
 
+def streaming_bloom_seen(
+    pages_stream: DataFrame,
+    n_buckets: int = 16,
+    m_bits: int = 1 << 16,
+    k: int = 7,
+    url_col: str = "url",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    an UNBOUNDED-horizon streaming URL-seen set — the streaming face of the
+    batch engine's partitioned Bloom blobs (operators/seen.py, SURVEY §2.B
+    E4). ``dropDuplicates`` + watermark bounds state by evicting old keys;
+    here the state is one Bloom bitmap per host-hash bucket (fixed bytes,
+    never grows), so urls deduplicate across the entire stream lifetime —
+    and across restarts via the streaming checkpoint. Emits first-seen rows
+    only.
+
+    Same state layout, same double-hash kernel as the batch path; at scale
+    the operator shuffles by bucket once (the groupBy) and each bucket's
+    state is m_bits/8 bytes regardless of url count.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.seen import _bit_positions, _hash2, bucket_of
+
+    out_schema = StructType([StructField(url_col, StringType())])
+    state_schema = StructType([StructField("blob", BinaryType())])
+
+    def dedup(key, pdf_iter, state: GroupState):
+        if state.exists:
+            arr = np.frombuffer(bytes(state.get[0]), dtype=np.uint8).copy()
+        else:
+            arr = np.zeros(m_bits // 8, dtype=np.uint8)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            urls = pdf[url_col]
+            h1, h2 = _hash2(urls)
+            pos = _bit_positions(h1, h2, k, m_bits)
+            bits = (arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            fresh = ~bits.all(axis=1)
+            # set bits for everything in this batch (fresh or not: idempotent)
+            flat = pos.ravel()
+            np.bitwise_or.at(arr, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+            # within-batch repeats: first occurrence wins
+            emit = urls[fresh]
+            emit = emit[~emit.duplicated()]
+            if len(emit):
+                yield pd.DataFrame({url_col: emit})
+        state.update((arr.tobytes(),))
+
+    return (
+        pages_stream.withColumn("_bucket", bucket_of(F.col(url_col), n_buckets))
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            dedup, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, timeout_sec: int = 120,
-    output_mode: str = "append",
+    output_mode: str = "append", checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Drain everything currently available through the streaming engine
     into an in-memory sink and return the result as a DataFrame (test /
     backfill harness; Trigger.AvailableNow processes all pending files in
-    bounded batches then stops)."""
-    q = (
+    bounded batches then stops). Pass ``checkpoint_dir`` to make stateful
+    operators (streaming_bloom_seen) resume across invocations — the
+    streaming analog of the batch engine's snapshot resume."""
+    w = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
     q.awaitTermination(timeout_sec)
     spark = stream_df.sparkSession
     return spark.table(query_name)
+
+
+def run_available_now_to_dir(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """AvailableNow drain into a DURABLE parquet sink with an explicit
+    checkpoint — the restartable harness: invoking it again after more
+    files land resumes the stateful operators (streaming_bloom_seen's
+    blobs) from the checkpointed state store and appends only the new
+    output. (The in-memory sink of run_available_now cannot recover from a
+    checkpoint.) Returns the cumulative sink contents."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.read.parquet(out_dir)
