@@ -33,10 +33,12 @@ HEADLINE = [
 ]
 
 
-def run_frontier(spark, n_pages: int = 300_000, batches: int = 3) -> tuple[float, int]:
+def run_frontier(spark, n_pages: int = 1_500_000, batches: int = 3) -> tuple[float, int]:
     """Frontier throughput: urls scheduled+fetch-simulated per second.
     Corpus generation/caching happens outside the timed window (the real
-    metric is the frontier loop, not synthetic-data synthesis)."""
+    metric is the frontier loop, not synthetic-data synthesis). 1.5M pages
+    keeps each batch compute-dominated (per-batch fixed cost is ~2-4s; see
+    BENCH/BASELINE.md for the N vs 4N scaling evidence at 6M)."""
     import shutil
     import tempfile
 
@@ -51,13 +53,14 @@ def run_frontier(spark, n_pages: int = 300_000, batches: int = 3) -> tuple[float
         eng = FrontierEngine(
             spark, pages, SnapStore(tmp),
             config=FrontierConfig(max_batches=batches, default_budget=65536,
-                                  bloom_buckets=64, bloom_bits=1 << 20),
+                                  bloom_buckets=64, bloom_bits=1 << 21),
         )
         eng.pages.count()  # materialize the corpus cache, untimed
         t0 = time.time()
         manifests = eng.run(seeds)
         dt = time.time() - t0
         scheduled = sum(m["metrics"]["scheduled"] for m in manifests)
+        eng.pages.unpersist()
         return dt, scheduled
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -67,6 +70,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     from warc_spark.plans import get_spark
     from warc_spark.queries import queries
@@ -82,7 +87,7 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     fdt, fsched = run_frontier(spark)
-    times["frontier_4batches"] = round(fdt, 3)
+    times["frontier_3batches"] = round(fdt, 3)
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_queries_plus_frontier_total_sec",

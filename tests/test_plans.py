@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: the scale-design claims in README.md /
+PLANS.md as assertions, so a refactor that silently loses pushdown, a
+broadcast, or the corpus-stationary fetch join fails CI — not a 100 TB run.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    """TPC-H Q6 shape: every predicate reaches the parquet scan; the scan
+    reads only the 4 referenced columns (of 11)."""
+    from warc_spark.queries import queries
+
+    p = plan_of(queries()["q6_revenue_delta"](spark, sf_dir))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read
+    # the wide columns must be pruned away
+    for absent in ("l_returnflag", "l_orderkey", "l_tax"):
+        assert absent not in read
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    """customer/orders broadcast; no sort-merge join, so the lineitem fact
+    side never shuffles for the join."""
+    from warc_spark.queries import queries
+
+    p = plan_of(queries()["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_politeness_window_group_limit(spark):
+    """The budget rank (row_number <= k) must trigger WindowGroupLimit —
+    per-partition top-k pruning BEFORE the window shuffle, the first line
+    of defense against hot-host skew."""
+    from warc_spark.operators.politeness import flag_politeness
+
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("host"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 13).cast("double").alias("priority"),
+    )
+    kept = flag_politeness(df, None, default_budget=5).filter(F.col("kept"))
+    assert "WindowGroupLimit" in plan_of(kept)
+
+
+def test_bloom_probe_map_no_exchange(spark):
+    """probe_with_map must not shuffle the candidate side: membership is a
+    broadcast blob map + scalar pandas UDF."""
+    from warc_spark.operators.seen import BloomSeenSet
+
+    bloom = BloomSeenSet(n_buckets=8, m_bits=1 << 12)
+    cands = spark.range(0, 100).select(
+        F.concat(F.lit("http://h"), F.col("id").cast("string"), F.lit(".x/p")).alias("url")
+    )
+    bc = spark.sparkContext.broadcast({0: bytes(1 << 9)})
+    p = plan_of(bloom.probe_with_map(cands, bc))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p or "BatchEvalPython" in p
+
+
+def test_fetch_join_corpus_stationary(spark):
+    """The fetch join must consume the pages cache with NO exchange above
+    the InMemoryTableScan: only the schedule side shuffles."""
+    import tempfile
+
+    from warc_spark.operators.frontier import FrontierConfig, FrontierEngine
+    from warc_spark.plans.snapstore import SnapStore
+    from warc_spark.sources.pages import synth_pages
+
+    eng = FrontierEngine(
+        spark, synth_pages(spark, 200, seed=1), SnapStore(tempfile.mkdtemp()),
+        config=FrontierConfig(),
+    )
+    eng.pages.count()
+    sched = spark.range(0, 50).select(
+        F.concat(F.lit("http://h0.example.org/page/"), F.col("id").cast("string")).alias("url")
+    )
+    p = plan_of(sched.join(eng.pages, "url", "left"))
+    assert "InMemoryTableScan" in p
+    # at most ONE hash exchange on the join key (the schedule side); two
+    # would mean the cached corpus lost its layout and is re-shuffling
+    assert p.count("Exchange hashpartitioning(url") <= 1
+    eng.pages.unpersist()

@@ -1,0 +1,89 @@
+"""CLI entry point — the ``spark-submit --py-files`` story (north rule):
+
+    # package the library for executors, then drive a crawl
+    python -c "from warc_spark.plans.session import _ship_package"  # or zip manually
+    spark-submit --py-files warc_spark_pkg.zip warc_spark/__main__.py crawl \\
+        --pages /data/pages_parquet --seeds 100000 --out /data/crawl \\
+        --batches 10 --budget 128
+
+    # local development is the same command without spark-submit:
+    python -m warc_spark crawl --synth-pages 200000 --seeds 50000 \\
+        --out /tmp/crawl --batches 3 --budget 1024
+
+``--pages`` points at any parquet/Iceberg table with the input_hint schema
+(url:string, warc_ts:timestamp, html:binary, text:string, lang:string);
+``--synth-pages N`` generates the deterministic Common-Crawl-style corpus
+instead. ``--resume`` continues from the snapshot store's last committed
+batch (exact resume). Per-batch manifests stream to stdout as JSON lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="warc_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the batch frontier loop")
+    src = c.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="parquet dir with the pages table")
+    src.add_argument("--synth-pages", type=int, help="generate N synthetic pages")
+    c.add_argument("--seeds", type=int, default=1000, help="number of seed urls")
+    c.add_argument("--seeds-table", help="parquet dir with (url, priority) seeds")
+    c.add_argument("--out", required=True, help="snapshot store directory")
+    c.add_argument("--batches", type=int, default=10)
+    c.add_argument("--budget", type=int, default=64, help="per-host politeness budget")
+    c.add_argument("--robots", help="parquet dir with (host, disallow_prefixes, crawl_delay)")
+    c.add_argument("--resume", action="store_true", help="continue from last snapshot")
+    c.add_argument("--no-bloom", action="store_true", help="exact-only membership")
+    c.add_argument("--bloom-buckets", type=int, default=64)
+    c.add_argument("--bloom-bits", type=int, default=1 << 21)
+    c.add_argument("--master", default=None, help="spark master (default env/local)")
+    c.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from .operators.frontier import FrontierConfig, FrontierEngine
+    from .plans import get_spark
+    from .plans.snapstore import SnapStore
+    from .sources.pages import synth_pages, synth_seeds
+
+    spark = get_spark(app="warc_spark_crawl", master=args.master)
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        pages = synth_pages(spark, args.synth_pages, seed=args.seed)
+    if args.seeds_table:
+        seeds = spark.read.parquet(args.seeds_table)
+    else:
+        n_pages = args.synth_pages or pages.count()
+        seeds = synth_seeds(spark, n_pages, n_seeds=args.seeds, seed=args.seed)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+
+    eng = FrontierEngine(
+        spark, pages, SnapStore(args.out), robots=robots,
+        config=FrontierConfig(
+            max_batches=args.batches, default_budget=args.budget,
+            use_bloom=not args.no_bloom,
+            bloom_buckets=args.bloom_buckets, bloom_bits=args.bloom_bits,
+        ),
+    )
+    manifests = eng.run(seeds, resume=args.resume)
+    for m in manifests:
+        print(json.dumps(m["metrics"]), flush=True)
+    total = sum(m["metrics"]["scheduled"] for m in manifests)
+    wall = sum(m["metrics"]["wall_sec"] for m in manifests)
+    print(json.dumps({"batches": len(manifests), "scheduled": total,
+                      "urls_per_sec": round(total / wall, 1) if wall else None}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
