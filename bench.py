@@ -71,8 +71,10 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-
+    # measured (BENCH notes): a LARGER heap is reliably SLOWER for this
+    # workload at local[32] (8g: ~33s for the frontier leg; 24g: 46-61s;
+    # interleaved A/B) — G1 with a big heap + 32 allocating threads. Keep
+    # the default 8g unless the env overrides.
     from warc_spark.plans import get_spark
     from warc_spark.queries import queries
 

@@ -79,7 +79,11 @@ def calibrate(fn, n_procs: int, args, repeats: int = 2) -> float:
 CHILD = r"""
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, %(repo)r)
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+# NOTE: on this sandbox an 8g heap is reliably FASTER at high thread
+# counts (G1 + large heap slow mode; see BENCH notes) — 64g is only for
+# corpora whose cache cannot spill acceptably. Override via SCALING_DRIVER_MEM.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM",
+                      os.environ.get("SCALING_DRIVER_MEM", "64g"))
 from warc_spark.plans import get_spark
 from warc_spark.operators.frontier import FrontierConfig, FrontierEngine
 from warc_spark.plans.snapstore import SnapStore
