@@ -89,6 +89,24 @@ class TestSimilarity:
         got = similarity.cosine_topk_lsh(df, mat[3].tolist(), k=3, n_planes=6, probe_hamming=2).collect()
         assert got and got[0].vec_id == 3  # query vector always lands in its own bucket
 
+    def test_ivf_recall_vs_bruteforce(self, spark):
+        """IVF probe must contain the query's own cell (top-1 exact) and
+        recall a solid fraction of the exact top-k on clustered data."""
+        rng = np.random.RandomState(5)
+        centers = rng.standard_normal((6, 8)) * 3
+        mat = np.vstack([centers[i % 6] + rng.standard_normal(8) * 0.4 for i in range(300)])
+        df = spark.createDataFrame(
+            [(i, mat[i].tolist()) for i in range(300)], "vec_id long, embedding array<float>"
+        )
+        q = mat[11].tolist()
+        exact = {r.vec_id for r in similarity.cosine_topk_bruteforce(df, q, k=10).collect()}
+        approx = similarity.cosine_topk_ivf(
+            df, q, k=10, n_cells=6, nprobe=2, seed=42
+        ).collect()
+        assert approx[0].vec_id == 11  # its own cell is always probed first
+        got = {r.vec_id for r in approx}
+        assert len(got & exact) >= 8  # deterministic data + seed -> stable recall
+
 
 class TestText:
     def test_features(self, spark):

@@ -101,6 +101,87 @@ def cosine_topk_lsh(
     return cosine_topk_bruteforce(probe, query_vec, k, id_col, vec_col)
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_sample: int = 4096,
+    iters: int = 8,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: spherical k-means on a DETERMINISTIC
+    hash-sample (xxhash64(id) bucket — same sample at any parallelism).
+    The sample is bounded (≤ max_sample rows to the driver) and the k-means
+    itself is a few numpy iterations — at 10^9 vectors this is the standard
+    train-small/assign-everywhere split; the full table is only ever
+    touched by the vectorized assign UDF."""
+    total = df.count()
+    keep_every = max(1, total // max_sample)
+    sample = (
+        df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(keep_every)) == 0)
+        .select(vec_col)
+        .limit(max_sample)
+        .collect()
+    )
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def ivf_cell_udf(centroids: np.ndarray):
+    """pandas UDF: embedding -> nearest-centroid cell id (batch matmul)."""
+    cents = centroids
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int64))
+
+    return F.pandas_udf(kernel, LongType())
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: assign vectors to coarse cells, scan only the
+    ``nprobe`` cells nearest the query, exact-rerank inside them. At scale
+    the table is written partitioned by cell (partition pruning does the
+    probe for free); here the assign UDF + isin filter expresses the same
+    plan. Pass ``centroids`` to reuse a trained quantizer across queries."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_cells=n_cells, vec_col=vec_col, id_col=id_col, seed=seed
+        )
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    order = np.argsort(-(centroids @ qv))
+    probe_cells = [int(c) for c in order[: min(nprobe, len(order))]]
+
+    cell = ivf_cell_udf(centroids)
+    probe = df.withColumn("_cell", cell(F.col(vec_col))).filter(
+        F.col("_cell").isin(probe_cells)
+    )
+    return cosine_topk_bruteforce(probe, query_vec, k, id_col, vec_col)
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 3,

@@ -578,6 +578,15 @@ def emb_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(e, qvec, k=10, n_planes=6, probe_hamming=2)
 
 
+@register("emb_ann_ivf_top10")
+def emb_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic spherical-kmeans coarse cells,
+    nprobe-cell scan, exact rerank (the partition-pruned scale path)."""
+    e = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return similarity.cosine_topk_ivf(e, qvec, k=10, n_cells=16, nprobe=4)
+
+
 @register("emb_near_dup_pairs")
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
