@@ -97,3 +97,71 @@ def test_topk_deterministic_ties(spark):
     )
     kept = topk_per_key(df, "host", [F.desc("priority"), F.col("url")], k=2)
     assert {r.url for r in kept.collect()} == {"u1", "u2"}
+
+
+ROBOTS_BODY = """
+# crawler policy
+User-agent: fancybot
+Disallow: /private/
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /tmp/
+Disallow: /cgi-bin/
+Crawl-delay: 1
+
+User-agent: otherbot
+Disallow:
+"""
+
+
+def test_parse_robots_txt_groups():
+    from warc_spark.operators.robots import parse_robots_txt
+
+    # wildcard group
+    prefixes, delay = parse_robots_txt(ROBOTS_BODY, "*")
+    assert prefixes == ["/tmp/", "/cgi-bin/"]
+    assert delay == 1.0
+    # specific agent wins over wildcard
+    prefixes, delay = parse_robots_txt(ROBOTS_BODY, "fancybot")
+    assert prefixes == ["/private/"]
+    assert delay == 2.5
+    # empty Disallow = allow all
+    prefixes, delay = parse_robots_txt(ROBOTS_BODY, "otherbot")
+    assert prefixes == []
+    # unknown agent falls back to *
+    prefixes, _ = parse_robots_txt(ROBOTS_BODY, "nobody")
+    assert prefixes == ["/tmp/", "/cgi-bin/"]
+    # grouped user-agents share directives
+    multi = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+    assert parse_robots_txt(multi, "b")[0] == ["/x"]
+
+
+def test_robots_rules_from_bodies_feeds_gate(spark):
+    from warc_spark.operators.robots import apply_robots, robots_rules_from_bodies
+
+    bodies = spark.createDataFrame(
+        [
+            ("h0.example.org", ROBOTS_BODY),
+            ("h1.example.org", "User-agent: *\nDisallow: /\n"),
+            ("h2.example.org", None),
+        ],
+        "host string, body string",
+    )
+    rules = robots_rules_from_bodies(bodies)
+    got = {r.host: (list(r.disallow_prefixes), r.crawl_delay) for r in rules.collect()}
+    assert got["h0.example.org"] == (["/tmp/", "/cgi-bin/"], 1.0)
+    assert got["h1.example.org"] == (["/"], None)
+    assert got["h2.example.org"] == ([], None)
+
+    frontier = spark.createDataFrame(
+        [
+            ("http://h0.example.org/ok", "h0.example.org", 1.0),
+            ("http://h0.example.org/tmp/x", "h0.example.org", 1.0),
+            ("http://h1.example.org/anything", "h1.example.org", 1.0),
+            ("http://h3.example.org/new", "h3.example.org", 1.0),
+        ],
+        "url string, host string, priority double",
+    )
+    kept = {r.url for r in apply_robots(frontier, rules).collect()}
+    assert kept == {"http://h0.example.org/ok", "http://h3.example.org/new"}

@@ -76,3 +76,82 @@ def apply_robots(
         .filter(F.col("robots_allowed"))
         .drop("robots_allowed")
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing: raw fetched bodies -> the rules table
+# ---------------------------------------------------------------------------
+
+def parse_robots_txt(body: str, agent: str = "*") -> tuple[list[str], float | None]:
+    """Parse one robots.txt body into (disallow_prefixes, crawl_delay) for
+    ``agent`` (falling back to the ``*`` group). Standard-practice subset:
+    grouped User-agent stanzas, Disallow prefixes (empty = allow all),
+    Crawl-delay; comments and unknown directives ignored. Pure function —
+    the executor kernel maps it over a batch."""
+    agent = agent.lower()
+    groups: dict[str, tuple[list[str], float | None]] = {}
+    cur_agents: list[str] = []
+    expecting_agents = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not expecting_agents:
+                cur_agents = []
+            cur_agents.append(val.lower())
+            for a in cur_agents:
+                groups.setdefault(a, ([], None))
+            expecting_agents = True
+            continue
+        expecting_agents = False
+        if not cur_agents:
+            continue
+        if key == "disallow" and val:
+            for a in cur_agents:
+                groups[a][0].append(val)
+        elif key == "crawl-delay":
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            for a in cur_agents:
+                groups[a] = (groups[a][0], d)
+    got = groups.get(agent) or groups.get("*") or ([], None)
+    return got
+
+
+def robots_rules_from_bodies(
+    bodies: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """(host, body) robots.txt fetches -> the ROBOTS_SCHEMA rules table the
+    gate broadcasts. Vectorized: one pandas UDF pass over the bodies (the
+    rules table is one row per host — tiny vs the frontier, so this runs
+    once per refresh cycle, not per batch)."""
+    import pandas as pd
+
+    def kernel(body):
+        parsed = [parse_robots_txt(b if b is not None else "", agent) for b in body]
+        return pd.DataFrame(
+            {
+                "disallow_prefixes": [p[0] for p in parsed],
+                "crawl_delay": [p[1] for p in parsed],
+            }
+        )
+
+    udf = F.pandas_udf(
+        kernel, "disallow_prefixes array<string>, crawl_delay double"
+    )
+    return bodies.select(
+        F.col(host_col).alias("host"), udf(F.col(body_col)).alias("_r")
+    ).select(
+        "host",
+        F.col("_r.disallow_prefixes").alias("disallow_prefixes"),
+        F.col("_r.crawl_delay").alias("crawl_delay"),
+    )
