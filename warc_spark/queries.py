@@ -627,6 +627,83 @@ def warc_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("arc_roundtrip_agg")
+def arc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARC engine path (SURVEY §2.A S10-S12/K5-K6): bucket synthetic pages
+    into ARC v2 files, serialize each file with the byte-exact kernel
+    (injected date — the reference's utcnow made deterministic), parse it
+    back with the auto-detecting reader, and verify url + payload identity
+    per record. Distributed: one applyInPandas group per ARC file."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    pages = synth_pages(spark, 5_000, seed=42)
+
+    def roundtrip(pdf: pd.DataFrame) -> pd.DataFrame:
+        from warc_spark.kernels.arcrec import parse_arc_file, serialize_arc_file
+
+        fid = int(pdf["_fid"].iloc[0])
+        pdf = pdf.sort_values("url")
+        recs = []
+        for r in pdf.itertuples():
+            payload = r.text
+            recs.append(
+                (
+                    {
+                        "url": r.url,
+                        "ip_address": "127.0.0.1",
+                        "date": "20260801000000",
+                        "content_type": "text/html",
+                        "length": str(len(payload)),
+                        "result_code": "200",
+                        "checksum": "-",
+                        "location": "-",
+                        "offset": "0",
+                        "filename": f"file{fid}.arc",
+                    },
+                    payload,
+                )
+            )
+        ser = serialize_arc_file(
+            recs, f"file{fid}.arc", version=2, date=_dt.datetime(2026, 8, 1)
+        )
+        it = parse_arc_file(ser)
+        version = next(it)
+        parsed = list(it)
+        ok = sum(
+            1
+            for (fields, payload), rec in zip(recs, parsed)
+            if rec.fields.get("url") == fields["url"] and rec.payload == payload
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "file_id": fid,
+                    "arc_version": int(version),
+                    "n_records": len(parsed),
+                    "n_verified": int(ok),
+                }
+            ]
+        )
+
+    per_file = (
+        pages.withColumn("_fid", F.pmod(F.xxhash64("url"), F.lit(50)))
+        .select("_fid", "url", "text")
+        .groupBy("_fid")
+        .applyInPandas(
+            roundtrip,
+            "file_id long, arc_version int, n_records long, n_verified long",
+        )
+    )
+    return per_file.agg(
+        F.count("*").alias("n_files"),
+        F.min("arc_version").alias("arc_version"),
+        F.sum("n_records").alias("n_records"),
+        F.sum("n_verified").alias("n_verified"),
+    )
+
+
 @register("stream_bloom_seen_urls")
 def stream_bloom_seen_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming face of the URL-seen set: drop a synthetic
