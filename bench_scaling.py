@@ -263,8 +263,8 @@ between epochs; each round's ratio is same-epoch), and no-JVM calibration
 burns measure what the hardware itself gives up at higher process counts.
 
 Job: synthetic Common-Crawl-style pages table ({n_pages:,} pages, Zipf host
-skew), {batches} frontier batches, ~5.7M URLs scheduled+fetch-simulated per
-run (politeness budget 65,536/host, salted priority ordering,
+skew), {batches} frontier batches, URLs scheduled+fetch-simulated per
+run as tabulated below (politeness budget 65,536/host, salted priority ordering,
 partitioned-bloom URL-seen deltas + broadcast-map probe, exact sliver
 rescue, per-batch snapshot checkpoints). Fetch simulation does the real
 per-URL pipeline work: corpus join, link+text extraction (one Arrow pass),
