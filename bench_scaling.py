@@ -80,10 +80,12 @@ CHILD = r"""
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, %(repo)r)
 # NOTE: on this sandbox an 8g heap is reliably FASTER at high thread
-# counts (G1 + large heap slow mode; see BENCH notes) — 64g is only for
-# corpora whose cache cannot spill acceptably. Override via SCALING_DRIVER_MEM.
+# counts (G1 + large heap slow mode; see BENCH notes); 8g is the default
+# AND the configuration the committed BENCH/BASELINE.md numbers were
+# measured with. Override via SCALING_DRIVER_MEM for corpora whose cache
+# cannot spill acceptably.
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM",
-                      os.environ.get("SCALING_DRIVER_MEM", "64g"))
+                      os.environ.get("SCALING_DRIVER_MEM", "8g"))
 from warc_spark.plans import get_spark
 from warc_spark.operators.frontier import FrontierConfig, FrontierEngine
 from warc_spark.plans.snapstore import SnapStore
@@ -118,7 +120,8 @@ for line in sys.stdin:
                          config=FrontierConfig(max_batches=%(batches)d,
                                                default_budget=65536,
                                                bloom_buckets=64,
-                                               bloom_bits=1 << 23),
+                                               bloom_bits=1 << 21,
+                                               rescue_mode="broadcast"),
                          pages_prepared=True)
     t0 = time.time()
     manifests = eng.run(seeds)
@@ -177,10 +180,13 @@ class Level:
 
 
 def main() -> None:
-    n_pages = int(os.environ.get("SCALING_PAGES", "6000000"))
+    # defaults == the configuration of the committed BENCH/BASELINE.md run
+    # (ADVICE r1: `python bench_scaling.py` must reproduce the report)
+    n_pages = int(os.environ.get("SCALING_PAGES", "3000000"))
     n_seeds = int(os.environ.get("SCALING_SEEDS", "3000000"))
     batches = int(os.environ.get("SCALING_BATCHES", "3"))
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+    driver_mem = os.environ.get("SCALING_DRIVER_MEM", "8g")
 
     cpu = {k: calibrate(_cpu_burn, k, [40_000_000]) for k in (2, 8, 32)}
     bw = {k: calibrate(_bw_burn, k, [0]) for k in (2, 8, 32)}
@@ -262,11 +268,17 @@ per-level persistent JVMs run the N and 4N legs INTERLEAVED for
 between epochs; each round's ratio is same-epoch), and no-JVM calibration
 burns measure what the hardware itself gives up at higher process counts.
 
+Exact configuration of THIS run (the script's defaults reproduce it):
+`SCALING_PAGES={n_pages} SCALING_SEEDS={n_seeds} SCALING_BATCHES={batches}
+SCALING_ROUNDS={len(rr)} SCALING_DRIVER_MEM={driver_mem} python
+bench_scaling.py`.
+
 Job: synthetic Common-Crawl-style pages table ({n_pages:,} pages, Zipf host
 skew), {batches} frontier batches, URLs scheduled+fetch-simulated per
 run as tabulated below (politeness budget 65,536/host, salted priority ordering,
-partitioned-bloom URL-seen deltas + broadcast-map probe, exact sliver
-rescue, per-batch snapshot checkpoints). Fetch simulation does the real
+partitioned-bloom URL-seen deltas + broadcast-map probe, broadcast sliver
+rescue, per-batch snapshot checkpoints; per-batch metrics ride the write
+jobs via df.observe — 4 Spark jobs/batch). Fetch simulation does the real
 per-URL pipeline work: corpus join, link+text extraction (one Arrow pass),
 sha1 digest, parquet checkpoint.
 

@@ -63,12 +63,23 @@ def simulate_crawl(
     for _batch in range(max_batches):
         candidates = {u: p for u, p in frontier.items() if u not in seen}
 
-        # robots gate: blocked urls permanently retired
+        # robots gate: blocked urls permanently retired. Host rules are a
+        # legacy disallow-prefix list OR a {"allow": [...], "disallow":
+        # [...]} dict (RFC longest-match semantics, shared with the engine
+        # via robots_blocked — the pure-Python twin of the JVM gate).
+        from warc_spark.operators.robots import robots_blocked
+
         blocked = set()
         if robots:
             for u in list(candidates):
-                prefixes = robots.get(host_of(u))
-                if prefixes and any(path_of(u).startswith(pre) for pre in prefixes):
+                rules = robots.get(host_of(u))
+                if not rules:
+                    continue
+                if isinstance(rules, dict):
+                    allow, dis = rules.get("allow", []), rules.get("disallow", [])
+                else:
+                    allow, dis = [], list(rules)
+                if robots_blocked(path_of(u), allow, dis):
                     blocked.add(u)
                     del candidates[u]
 

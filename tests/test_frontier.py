@@ -124,6 +124,38 @@ class TestCrawlOracle:
         for r in per_host.collect():
             assert BUDGETS.get(r.host, 3) >= r["count"]
 
+    def test_matches_simulator_with_wildcard_robots(
+        self, spark, pages_df, pages_pdf, seeds_df, tmp_path
+    ):
+        """Allow + wildcard + $-anchor robots rules (v2 gate) vs the
+        pure-Python longest-match twin inside the simulator."""
+        from warc_spark.operators.robots import robots_rules_from_bodies
+
+        body0 = "User-agent: *\nDisallow: /page/*\nAllow: /page/1\n"
+        body3 = "User-agent: *\nDisallow: /*9$\n"
+        robots_df = robots_rules_from_bodies(
+            spark.createDataFrame(
+                [("host0.example.org", body0), ("host3.example.org", body3)],
+                "host string, body string",
+            )
+        )
+        rules = {
+            "host0.example.org": {"allow": ["/page/1"], "disallow": ["/page/*"]},
+            "host3.example.org": {"disallow": ["/*9$"]},
+        }
+        cfg = FrontierConfig(max_batches=4, default_budget=4)
+        store, manifests = run_engine(
+            spark, pages_df, seeds_df, tmp_path, cfg, robots=robots_df
+        )
+        sim = simulate_crawl(
+            pages_pdf, seeds_list(seeds_df), robots=rules,
+            default_budget=4, max_batches=4,
+        )
+        got = collect_batches(store, spark, len(manifests))
+        assert len(got) == len(sim.batches)
+        for k, (g, s) in enumerate(zip(got, sim.batches)):
+            assert g == s, f"batch {k} ordering mismatch"
+
     def test_metrics_match_simulator(self, spark, pages_df, pages_pdf, seeds_df, tmp_path):
         cfg = FrontierConfig(max_batches=3, default_budget=4)
         store, manifests = run_engine(spark, pages_df, seeds_df, tmp_path, cfg)
@@ -178,3 +210,125 @@ class TestBloomPath:
         assert collect_batches(store_b, spark, len(mb)) == collect_batches(
             store_e, spark, len(me)
         )
+
+
+class TestDistributedProbe:
+    """The at-scale membership path: blob state as a distributed table +
+    co-partitioned probe join — the driver never holds blob bytes."""
+
+    def test_distributed_equals_exact(self, spark, pages_df, seeds_df, tmp_path):
+        cfg_d = FrontierConfig(max_batches=3, default_budget=4, use_bloom=True,
+                               distributed_probe=True,
+                               bloom_buckets=8, bloom_bits=1 << 12)
+        cfg_e = FrontierConfig(max_batches=3, default_budget=4, use_bloom=False)
+        store_d, md = run_engine(spark, pages_df, seeds_df, tmp_path / "dist", cfg_d)
+        store_e, me = run_engine(spark, pages_df, seeds_df, tmp_path / "exact", cfg_e)
+        assert len(md) == len(me)
+        assert collect_batches(store_d, spark, len(md)) == collect_batches(
+            store_e, spark, len(me)
+        )
+        seen_d = {r.url for r in store_d.read_all_scheduled(spark, len(md) - 1).collect()}
+        seen_e = {r.url for r in store_e.read_all_scheduled(spark, len(me) - 1).collect()}
+        assert seen_d == seen_e
+        # the compacted state table is checkpointed every batch
+        for m in md:
+            assert "bloom_state" in m["tables"]
+
+    def test_distributed_resume(self, spark, pages_df, seeds_df, tmp_path):
+        cfg = dict(default_budget=4, use_bloom=True, distributed_probe=True,
+                   bloom_buckets=8, bloom_bits=1 << 12)
+        store, m1 = run_engine(
+            spark, pages_df, seeds_df, tmp_path / "a", FrontierConfig(max_batches=2, **cfg)
+        )
+        eng = FrontierEngine(
+            spark, pages_df, store, config=FrontierConfig(max_batches=4, **cfg)
+        )
+        m2 = eng.run(seeds_df, resume=True)
+        assert [m["snapshot"] for m in m2] == [2, 3]
+        ref_store, _ = run_engine(
+            spark, pages_df, seeds_df, tmp_path / "b", FrontierConfig(max_batches=4, **cfg)
+        )
+        assert collect_batches(store, spark, 4) == collect_batches(ref_store, spark, 4)
+
+    def test_resume_rebuilds_when_store_has_no_bloom(
+        self, spark, pages_df, seeds_df, tmp_path
+    ):
+        """A store written with use_bloom=False resumed with use_bloom=True
+        must not crash (ADVICE r1) — membership is rebuilt from the
+        scheduled tables and the crawl ordering is unchanged."""
+        ref_store, _ = run_engine(
+            spark, pages_df, seeds_df, tmp_path / "ref",
+            FrontierConfig(max_batches=4, default_budget=4, use_bloom=False),
+        )
+        ref = collect_batches(ref_store, spark, 4)
+        for mode in (False, True):
+            store, _ = run_engine(
+                spark, pages_df, seeds_df, tmp_path / f"m{mode}",
+                FrontierConfig(max_batches=2, default_budget=4, use_bloom=False),
+            )
+            eng = FrontierEngine(
+                spark, pages_df, store,
+                config=FrontierConfig(
+                    max_batches=4, default_budget=4, use_bloom=True,
+                    distributed_probe=mode, bloom_buckets=8, bloom_bits=1 << 12,
+                ),
+            )
+            m2 = eng.run(seeds_df, resume=True)
+            assert [m["snapshot"] for m in m2] == [2, 3]
+            assert collect_batches(store, spark, 4) == ref
+
+    def test_resume_rejects_mismatched_geometry(self, spark, pages_df, seeds_df, tmp_path):
+        store, _ = run_engine(
+            spark, pages_df, seeds_df, tmp_path,
+            FrontierConfig(max_batches=2, default_budget=4, use_bloom=True,
+                           bloom_buckets=8, bloom_bits=1 << 12),
+        )
+        eng = FrontierEngine(
+            spark, pages_df, store,
+            config=FrontierConfig(max_batches=4, default_budget=4, use_bloom=True,
+                                  bloom_buckets=16, bloom_bits=1 << 12),
+        )
+        with pytest.raises(ValueError, match="bloom_buckets"):
+            eng.run(seeds_df, resume=True)
+
+
+class TestMissingFetch:
+    """Fetch misses (urls absent from the pages corpus) — the left-join-null
+    branch of the fetch path, including an ENTIRELY missing batch (all-null
+    html through the struct-returning pandas UDF; ADVICE r1)."""
+
+    def _absent_seeds(self, spark, n=6):
+        rows = [
+            (f"http://host0.example.org/nowhere/{i}", 1.0 - i * 0.01)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "url string, priority double")
+
+    def test_all_missing_batch(self, spark, pages_df, tmp_path):
+        store, manifests = run_engine(
+            spark, pages_df, self._absent_seeds(spark), tmp_path,
+            FrontierConfig(max_batches=3, default_budget=10),
+        )
+        # one batch: every url missing, no links, crawl ends
+        assert len(manifests) == 1
+        assert manifests[0]["metrics"]["missing"] == 6
+        assert manifests[0]["metrics"]["found"] == 0
+        assert manifests[0]["metrics"]["links_extracted"] == 0
+        rows = store.read_df(spark, 0, "scheduled").collect()
+        assert all(r.status == "missing" for r in rows)
+        assert all(r.n_links == 0 for r in rows)
+        assert all(r.text_extracted is None for r in rows)
+        assert all(r.digest is None for r in rows)
+
+    def test_mixed_missing_batch(self, spark, pages_df, seeds_df, tmp_path):
+        mixed = seeds_df.unionByName(self._absent_seeds(spark))
+        store, manifests = run_engine(
+            spark, pages_df, mixed, tmp_path,
+            FrontierConfig(max_batches=2, default_budget=30),
+        )
+        rows = store.read_df(spark, 0, "scheduled").collect()
+        missing = [r for r in rows if r.status == "missing"]
+        found = [r for r in rows if r.status == "found"]
+        assert len(missing) == 6 and len(found) > 0
+        assert all(r.text_extracted is None and r.n_links == 0 for r in missing)
+        assert all(r.text_extracted is not None for r in found)

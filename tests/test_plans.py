@@ -96,3 +96,49 @@ def test_fetch_join_corpus_stationary(spark):
     # would mean the cached corpus lost its layout and is re-shuffling
     assert p.count("Exchange hashpartitioning(url") <= 1
     eng.pages.unpersist()
+
+
+def _node_blocks(formatted_plan: str, node_name: str) -> list[str]:
+    """The detail blocks ('(n) NodeName' + Input/Arguments lines) of every
+    node whose name contains node_name, from explain('formatted') output."""
+    import re
+
+    blocks, cur = [], None
+    for ln in formatted_plan.splitlines():
+        if re.match(r"^\(\d+\) ", ln):
+            if cur is not None:
+                blocks.append("\n".join(cur))
+                cur = None
+            if node_name in ln:
+                cur = [ln]
+        elif cur is not None:
+            cur.append(ln)
+    if cur is not None:
+        blocks.append("\n".join(cur))
+    return blocks
+
+
+def test_lsh_band_shuffle_carries_no_payload(spark, sf_dir):
+    """The MinHash band self-join exchanges only (id, band, bucket) — the
+    corpus text must NOT appear in any Exchange below the candidate join
+    (r1's measured scale-killer: 2×bands × corpus text through the
+    shuffle). Text re-attaches to the deduped pairs afterwards."""
+    from warc_spark.queries import queries
+
+    p = plan_of(queries()["doc_minhash_near_dups"](spark, sf_dir))
+    blocks = _node_blocks(p, "Generate")
+    assert blocks, "expected a band posexplode (Generate) in the LSH plan"
+    for b in blocks:
+        assert "posexplode" in b
+        assert "_text" not in b, b
+
+
+def test_embedding_lsh_band_shuffle_carries_no_vectors(spark, sf_dir):
+    from warc_spark.queries import queries
+
+    p = plan_of(queries()["emb_near_dup_pairs"](spark, sf_dir))
+    blocks = _node_blocks(p, "Generate")
+    assert blocks, "expected a table posexplode (Generate) in the LSH plan"
+    for b in blocks:
+        assert "posexplode" in b
+        assert "_v#" not in b, b

@@ -119,22 +119,93 @@ def test_parse_robots_txt_groups():
     from warc_spark.operators.robots import parse_robots_txt
 
     # wildcard group
-    prefixes, delay = parse_robots_txt(ROBOTS_BODY, "*")
-    assert prefixes == ["/tmp/", "/cgi-bin/"]
-    assert delay == 1.0
+    rules = parse_robots_txt(ROBOTS_BODY, "*")
+    assert rules.disallow == ["/tmp/", "/cgi-bin/"]
+    assert rules.crawl_delay == 1.0
     # specific agent wins over wildcard
-    prefixes, delay = parse_robots_txt(ROBOTS_BODY, "fancybot")
-    assert prefixes == ["/private/"]
-    assert delay == 2.5
+    rules = parse_robots_txt(ROBOTS_BODY, "fancybot")
+    assert rules.disallow == ["/private/"]
+    assert rules.crawl_delay == 2.5
     # empty Disallow = allow all
-    prefixes, delay = parse_robots_txt(ROBOTS_BODY, "otherbot")
-    assert prefixes == []
+    rules = parse_robots_txt(ROBOTS_BODY, "otherbot")
+    assert rules.disallow == []
     # unknown agent falls back to *
-    prefixes, _ = parse_robots_txt(ROBOTS_BODY, "nobody")
-    assert prefixes == ["/tmp/", "/cgi-bin/"]
+    assert parse_robots_txt(ROBOTS_BODY, "nobody").disallow == ["/tmp/", "/cgi-bin/"]
     # grouped user-agents share directives
-    multi = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
-    assert parse_robots_txt(multi, "b")[0] == ["/x"]
+    multi = "User-agent: a\nUser-agent: b\nDisallow: /x\nAllow: /x/ok\n"
+    assert parse_robots_txt(multi, "b") == (["/x/ok"], ["/x"], None)
+
+
+def test_robots_longest_match_precedence():
+    """RFC 9309 / Google-documented precedence: longest pattern wins;
+    allow wins length ties; * and final $ patterns."""
+    from warc_spark.operators.robots import pattern_to_regex, robots_blocked
+
+    # documented example: allow /p beats disallow / for /page
+    assert not robots_blocked("/page", ["/p"], ["/"])
+    # documented example: equal-length tie -> allow (least restrictive)
+    assert not robots_blocked("/folder/page", ["/folder"], ["/folder"])
+    # longer disallow beats shorter allow
+    assert robots_blocked("/page.htm", ["/page"], ["/*.htm"])
+    # wildcard matches any char run
+    assert robots_blocked("/a/deep/file.php", [], ["/*.php"])
+    assert not robots_blocked("/a/deep/file.phtml", [], ["/*.php$"])
+    # final $ anchors the end
+    assert robots_blocked("/file.php", [], ["/*.php$"])
+    assert not robots_blocked("/file.php5", [], ["/*.php$"])
+    # $ only final; regex metachars in patterns are literal
+    assert pattern_to_regex("/a+b") == "^/a\\+b"
+    assert not robots_blocked("/aab", [], ["/a+b"])
+    assert robots_blocked("/a+b", [], ["/a+b"])
+
+
+def test_robots_gate_v2_wildcards(spark):
+    """The JVM gate with Allow + wildcard rules must agree with the
+    pure-Python twin on every url."""
+    from warc_spark.operators.robots import (
+        apply_robots,
+        robots_blocked,
+        robots_rules_from_bodies,
+    )
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow: /*.cgi$\n"
+        "Allow: /p\n"
+        "Disallow: /\n"
+    )
+    rules = robots_rules_from_bodies(
+        spark.createDataFrame([("h.example.org", body)], "host string, body string")
+    )
+    urls = [
+        "http://h.example.org/page",          # allow /p beats disallow /
+        "http://h.example.org/private/x",     # disallow /private
+        "http://h.example.org/private/ok/y",  # allow /private/ok beats it
+        "http://h.example.org/x",             # disallow /
+        "http://h.example.org/script.cgi",    # disallow /*.cgi$ beats /p? no host
+        "http://h.example.org/p.cgi",         # /*.cgi$ (len 7) vs /p (len 2)
+        "http://h.example.org/",              # disallow /
+    ]
+    frontier = spark.createDataFrame(
+        [(u, "h.example.org", 1.0) for u in urls],
+        "url string, host string, priority double",
+    )
+    kept = {r.url for r in apply_robots(frontier, rules).collect()}
+    parsed = (["/private/ok", "/p"], ["/private", "/*.cgi$", "/"])
+    expected = {
+        u
+        for u in urls
+        if not robots_blocked("/" + u.split("/", 3)[3] if len(u.split("/", 3)) > 3 else "/",
+                              *parsed)
+    }
+    assert kept == expected
+    # spot-check the twin itself
+    assert "http://h.example.org/page" in kept
+    assert "http://h.example.org/private/x" not in kept
+    assert "http://h.example.org/private/ok/y" in kept
+    assert "http://h.example.org/p.cgi" not in kept
 
 
 def test_robots_rules_from_bodies_feeds_gate(spark):

@@ -116,9 +116,10 @@ class BloomSeenSet:
             .applyInPandas(build, BLOOM_SCHEMA)
         )
 
-    def merge_blobs(self, a: DataFrame, b: DataFrame) -> DataFrame:
-        """Incremental state update: bitwise-OR blobs bucket-wise (full
-        outer on bucket; missing side contributes an empty bitmap)."""
+    def compact(self, blobs: DataFrame) -> DataFrame:
+        """OR-merge a blob table that may hold several rows per bucket
+        (e.g. the union of many checkpointed deltas) into one row/bucket.
+        One shuffle on bucket; the OR is vectorized numpy."""
         m_bytes = self.m_bits // 8
 
         def merge(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -132,15 +133,26 @@ class BloomSeenSet:
                 {"bucket": [int(pdf["bucket"].iloc[0])], "blob": [acc.tobytes()], "n_items": [n]}
             )
 
-        return a.unionByName(b).groupBy("bucket").applyInPandas(merge, BLOOM_SCHEMA)
+        return blobs.groupBy("bucket").applyInPandas(merge, BLOOM_SCHEMA)
+
+    def merge_blobs(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        """Incremental state update: bitwise-OR blobs bucket-wise (full
+        outer on bucket; missing side contributes an empty bitmap)."""
+        return self.compact(a.unionByName(b))
 
     # -- probe ----------------------------------------------------------
     def probe(
-        self, candidates: DataFrame, blobs: DataFrame, url_col: str = "url"
+        self,
+        candidates: DataFrame,
+        blobs: DataFrame,
+        url_col: str = "url",
+        broadcast: bool = True,
     ) -> DataFrame:
-        """Adds ``maybe_seen: boolean``. Join on bucket (broadcast while the
-        blob table is small; at scale both sides are hash-partitioned on
-        bucket so the join is co-located), then numpy bit-test per batch."""
+        """Adds ``maybe_seen: boolean``. Join on bucket (``broadcast=True``
+        while the blob table is small; with ``broadcast=False`` both sides
+        hash-partition on bucket so the join is co-located and the blob
+        state NEVER collects to one node — the 10^10-URL path), then numpy
+        bit-test per batch."""
         m_bits, k = self.m_bits, self.k
 
         def test(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -165,7 +177,8 @@ class BloomSeenSet:
         out_schema = StructType(
             list(with_bucket.schema.fields) + [StructField("maybe_seen", BooleanType())]
         )
-        joined = with_bucket.join(F.broadcast(blobs), on="bucket", how="left")
+        blob_side = F.broadcast(blobs) if broadcast else blobs
+        joined = with_bucket.join(blob_side, on="bucket", how="left")
         return (
             joined.groupBy("bucket")
             .applyInPandas(test, out_schema)

@@ -1,9 +1,13 @@
 from .warc_source import (  # noqa: F401
+    MEMBER_INDEX_SCHEMA,
     WARC_RECORD_SCHEMA,
-    read_warc,
+    index_warc_members,
     parse_warc_column,
+    plan_warc_splits,
+    read_warc,
+    read_warc_presplit,
     write_warc,
 )
-from .arc_source import ARC_RECORD_SCHEMA, read_arc  # noqa: F401
+from .arc_source import ARC_RECORD_SCHEMA, read_arc, write_arc  # noqa: F401
 from .dispatch import open_archive  # noqa: F401
 from .pages import synth_pages, extract_text_kernel, extract_links_kernel  # noqa: F401

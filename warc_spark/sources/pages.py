@@ -272,8 +272,9 @@ def synth_seeds(
     df = spark.range(0, n_seeds, 1, parts).mapInPandas(
         gen, "url string, priority double"
     )
-    # duplicate urls keep their highest (earliest-index) priority, matching
-    # the driver-side seeds_pdf drop_duplicates semantics
+    # duplicate urls MAX-merge their priorities (the priority formula is
+    # non-monotone in seed index, so this is not keep-first) — the same
+    # max-merge the oracle simulator applies to its seed list
     from pyspark.sql import functions as F
 
     return df.groupBy("url").agg(F.max("priority").alias("priority"))
