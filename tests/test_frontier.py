@@ -292,6 +292,36 @@ class TestDistributedProbe:
             eng.run(seeds_df, resume=True)
 
 
+class TestSeenCompaction:
+    def test_compaction_preserves_crawl(self, spark, pages_df, seeds_df, tmp_path):
+        """LSM compaction of the seen-url log every 2 batches: identical
+        crawl to the uncompacted run, and the compacted table at batch k
+        holds exactly the urls scheduled in 0..k."""
+        import os
+
+        cfg_c = FrontierConfig(max_batches=4, default_budget=4, seen_compact_every=2)
+        cfg_p = FrontierConfig(max_batches=4, default_budget=4, seen_compact_every=0)
+        store_c, mc = run_engine(spark, pages_df, seeds_df, tmp_path / "c", cfg_c)
+        store_p, mp = run_engine(spark, pages_df, seeds_df, tmp_path / "p", cfg_p)
+        assert len(mc) == len(mp)
+        assert collect_batches(store_c, spark, len(mc)) == collect_batches(
+            store_p, spark, len(mp)
+        )
+        for k in (1, 3):
+            d = os.path.join(store_c.batch_dir(k), "seen_compact")
+            assert os.path.exists(os.path.join(d, "_SUCCESS"))
+            compacted = {r.url for r in spark.read.parquet(d).collect()}
+            scheduled = {
+                r.url for r in store_c.read_all_scheduled(spark, k).collect()
+            }
+            assert compacted == scheduled
+        # read_seen_urls equals the full scheduled set at every horizon
+        for k in range(len(mc)):
+            a = {r.url for r in store_c.read_seen_urls(spark, k).collect()}
+            b = {r.url for r in store_c.read_all_scheduled(spark, k).collect()}
+            assert a == b
+
+
 class TestMissingFetch:
     """Fetch misses (urls absent from the pages corpus) — the left-join-null
     branch of the fetch path, including an ENTIRELY missing batch (all-null

@@ -110,3 +110,47 @@ class SnapStore:
             os.path.join(self.batch_dir(k), "scheduled") for k in range(upto + 1)
         ]
         return spark.read.parquet(*paths)
+
+    # -- seen-url compaction (LSM-style) ----------------------------------
+    def _latest_compact(self, upto: int) -> int | None:
+        for k in range(upto, -1, -1):
+            if os.path.exists(
+                os.path.join(self.batch_dir(k), "seen_compact", "_SUCCESS")
+            ):
+                return k
+        return None
+
+    def compact_seen(self, spark: SparkSession, upto: int) -> dict[str, Any]:
+        """Write the compacted seen-url table at batch ``upto`` (all urls
+        scheduled in 0..upto, one slim column). Amortizes the per-batch
+        rescue-base read from O(#batches) parquet dirs to O(compact
+        interval) — the LSM compaction of the crawl's membership log."""
+        return self.write_df(
+            self.read_seen_urls(spark, upto), upto, "seen_compact"
+        )
+
+    def read_seen_urls(self, spark: SparkSession, upto: int) -> DataFrame:
+        """urls scheduled in batches 0..upto: the latest compacted prefix
+        (if any) plus the per-batch deltas after it. Equivalent to
+        ``read_all_scheduled(upto).select("url")`` but opens O(interval)
+        dirs instead of O(#batches)."""
+        c = self._latest_compact(upto)
+        start = 0
+        parts = []
+        if c is not None:
+            parts.append(
+                spark.read.parquet(
+                    os.path.join(self.batch_dir(c), "seen_compact")
+                ).select("url")
+            )
+            start = c + 1
+        delta_paths = [
+            os.path.join(self.batch_dir(k), "scheduled")
+            for k in range(start, upto + 1)
+        ]
+        if delta_paths:
+            parts.append(spark.read.parquet(*delta_paths).select("url"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out

@@ -876,14 +876,71 @@ def stream_bloom_seen_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("media_decode_fake")
 def media_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: treat html payload bytes as opaque media blobs,
-    run the (deterministic fake) decode kernel, aggregate feature stats."""
+    """Multimodal plumbing over arbitrary bytes: treat html payloads as
+    opaque media blobs, run the (deterministic, clearly-fake) stand-in
+    kernel, project the metadata."""
     pages = synth_pages(spark, 500, seed=42)
     meta = decode_media(pages, "html", kind="image", fake=True)
     return (
         meta.select("media_id", "kind", "mime", "width", "height")
         .orderBy("media_id")
     )
+
+
+@register(
+    "media_image_stats",
+    oracle="""
+    SELECT e.vec_id,
+           16 AS width, 16 AS height,
+           CAST(SUM((e.vec_id*7 + g.p*g.p + 0)  % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((e.vec_id*7 + g.p*g.p + 5)  % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((e.vec_id*7 + g.p*g.p + 10) % 256) AS BIGINT) AS sum_b
+    FROM embeddings e CROSS JOIN generate_series(0, 255) AS g(p)
+    GROUP BY e.vec_id ORDER BY e.vec_id
+    """,
+)
+def media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked end to end: deterministic 16x16
+    RGB images (pixel(p, c) = (id*7 + p^2 + c*5) mod 256) are encoded as
+    netpbm executor-side, pushed through the real decode_media stage
+    (header parse + frombuffer + feature extraction), and the per-channel
+    pixel SUMS recovered from the feature vector must equal DuckDB's
+    closed-form sums. Means over <=2^16 pixels are dyadic rationals, exact
+    in float32 — so this hash-matches bit-for-bit, proving the decoder and
+    feature kernel, not just the plumbing."""
+    import pandas as pd  # noqa: F401  (kernel below)
+
+    from .functions.multimodal import encode_netpbm
+
+    ids = t(spark, sf_dir, "embeddings").select("vec_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        p = np.arange(256, dtype=np.int64)
+        for pdf in batches:
+            imgs = []
+            for i in pdf["vec_id"]:
+                chans = [
+                    ((int(i) * 7 + p * p + off) % 256).astype(np.uint8)
+                    for off in (0, 5, 10)
+                ]
+                arr = np.stack(chans, axis=1).reshape(16, 16, 3)
+                imgs.append(encode_netpbm(arr))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "img": imgs})
+
+    imgs = ids.mapInPandas(gen, "vec_id long, img binary")
+    meta = decode_media(imgs, "img", keep=["vec_id"])
+    px = F.lit(256)
+    return meta.select(
+        "vec_id",
+        "width",
+        "height",
+        (F.element_at("feature", 1).cast("double") * px).cast("long").alias("sum_r"),
+        (F.element_at("feature", 2).cast("double") * px).cast("long").alias("sum_g"),
+        (F.element_at("feature", 3).cast("double") * px).cast("long").alias("sum_b"),
+    ).orderBy("vec_id")
 
 
 # =========================================================================
