@@ -1150,6 +1150,226 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+                    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                    JOIN customer c ON c.c_custkey = o.o_custkey
+                    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-sided nation qualification (supplier nation x
+    customer nation) with a disjunctive pair filter. All dimensions
+    broadcast; lineitem scanned once, one shuffle for the 3-key agg."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                     ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 6) AS mkt_share
+    FROM lineitem l JOIN part p     ON p.p_partkey = l.l_partkey
+                    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+                    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                    JOIN customer c ON c.c_custkey = o.o_custkey
+                    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+                    JOIN region r   ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share = conditional-sum ratio per
+    order year, over a region's customers for one part type. One lineitem
+    pass, everything else broadcast; the CASE lives inside the agg (no
+    second scan for the numerator)."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    nat_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nat_rev).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                     ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 6) AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1999-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue percentage — conditional-agg ratio
+    over one month. Date range pushes to the scan; part broadcasts."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+        ).alias("promo_pct")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#13' AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    clauses across the join. Catalyst extracts the common l_quantity and
+    p_brand/p_size bounds as pushable residuals; part broadcasts."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | ((F.col("p_brand") == "Brand#13") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q16_suppliers_per_brand",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_size AS size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'PROMO' AND p.p_size IN (1, 9, 19, 29, 49)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, brand, size
+    LIMIT 20
+    """,
+)
+def q16_suppliers_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count of suppliers per (brand, size) with
+    a NOT-equal + IN-list part filter. The distinct agg expands to a
+    two-stage (partial-distinct) plan; part broadcasts into lineitem."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 9, 19, 29, 49)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "size")
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_REGISTRY)
 
