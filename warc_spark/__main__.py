@@ -42,6 +42,17 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--no-bloom", action="store_true", help="exact-only membership")
     c.add_argument("--bloom-buckets", type=int, default=64)
     c.add_argument("--bloom-bits", type=int, default=1 << 21)
+    c.add_argument(
+        "--distributed-probe", action="store_true",
+        help="keep the bloom state a distributed table (co-partitioned "
+             "probe join; the 10^10-URL configuration — the driver never "
+             "holds blob bytes)",
+    )
+    c.add_argument(
+        "--rescue-mode", choices=("auto", "broadcast", "shuffle"), default="auto",
+        help="emit-dedup sliver rescue plan; forcing one skips the "
+             "per-batch sliver-count job",
+    )
     c.add_argument("--master", default=None, help="spark master (default env/local)")
     c.add_argument("--seed", type=int, default=42)
     return p
@@ -72,6 +83,8 @@ def main(argv: list[str] | None = None) -> int:
             max_batches=args.batches, default_budget=args.budget,
             use_bloom=not args.no_bloom,
             bloom_buckets=args.bloom_buckets, bloom_bits=args.bloom_bits,
+            distributed_probe=args.distributed_probe,
+            rescue_mode=args.rescue_mode,
         ),
     )
     manifests = eng.run(seeds, resume=args.resume)
