@@ -187,15 +187,22 @@ def main() -> None:
     batches = int(os.environ.get("SCALING_BATCHES", "3"))
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     driver_mem = os.environ.get("SCALING_DRIVER_MEM", "8g")
+    # primary N->4N pair; pick one inside the host's linear region (the
+    # calibration burns print the ceilings — a pair past the bandwidth
+    # knee measures the box, not the software)
+    lo, hi = (
+        int(x) for x in os.environ.get("SCALING_PAIR", "2,8").split(",")
+    )
+    wide = int(os.environ.get("SCALING_WIDE", "32"))
 
-    cpu = {k: calibrate(_cpu_burn, k, [40_000_000]) for k in (2, 8, 32)}
-    bw = {k: calibrate(_bw_burn, k, [0]) for k in (2, 8, 32)}
+    cpu = {k: calibrate(_cpu_burn, k, [40_000_000]) for k in (lo, hi, wide)}
+    bw = {k: calibrate(_bw_burn, k, [0]) for k in (lo, hi, wide)}
 
     # at most two persistent JVMs alive at once (memory): phase A
-    # interleaves the primary (8,2) pair, phase B the secondary (8,32)
-    lv8 = Level(8, n_pages, n_seeds, batches)
+    # interleaves the primary (hi,lo) pair, phase B the secondary (hi,wide)
+    lv8 = Level(hi, n_pages, n_seeds, batches)
     lv8.wait_ready()
-    lv2 = Level(2, n_pages, n_seeds, batches)
+    lv2 = Level(lo, n_pages, n_seeds, batches)
     lv2.wait_ready()
     round_results = []
     for i in range(rounds):
@@ -212,7 +219,7 @@ def main() -> None:
         )
         print(json.dumps(round_results[-1]), flush=True)
     lv2.close()
-    lv32 = Level(32, n_pages, n_seeds, batches)
+    lv32 = Level(wide, n_pages, n_seeds, batches)
     lv32.wait_ready()
     for i in range(rounds):
         r8 = lv8.run()
@@ -228,18 +235,20 @@ def main() -> None:
     med = sorted(r["speedup_2_8"] for r in round_results)[len(round_results) // 2]
     med32 = sorted(r["speedup_8_32"] for r in round_results)[len(round_results) // 2]
     best = max(r["speedup_2_8"] for r in round_results)
-    hw_speedup = cpu[8] / cpu[2]
-    bw_speedup = bw[8] / bw[2]
+    hw_speedup = cpu[hi] / cpu[lo]
+    bw_speedup = bw[hi] / bw[lo]
     sched = 0
+    ratio = hi / lo
     report = {
         "n_pages": n_pages, "n_seeds": n_seeds, "batches": batches,
+        "pair": [lo, hi], "wide": wide,
         "rounds": round_results,
         "calibration_cpu_tasks_per_sec": {k: round(v, 2) for k, v in cpu.items()},
         "calibration_bw_tasks_per_sec": {k: round(v, 2) for k, v in bw.items()},
         "median_speedup_2_8": med,
         "best_speedup_2_8": best,
         "median_speedup_8_32": med32,
-        "raw_efficiency_2_8": round(med / 4, 3),
+        "raw_efficiency_2_8": round(med / ratio, 3),
         "hardware_cpu_speedup_2_8": round(hw_speedup, 3),
         "hardware_bw_speedup_2_8": round(bw_speedup, 3),
         "software_efficiency_vs_cpu": round(min(med / hw_speedup, 1.0), 3),
@@ -270,8 +279,8 @@ burns measure what the hardware itself gives up at higher process counts.
 
 Exact configuration of THIS run (the script's defaults reproduce it):
 `SCALING_PAGES={n_pages} SCALING_SEEDS={n_seeds} SCALING_BATCHES={batches}
-SCALING_ROUNDS={len(rr)} SCALING_DRIVER_MEM={driver_mem} python
-bench_scaling.py`.
+SCALING_ROUNDS={len(rr)} SCALING_DRIVER_MEM={driver_mem}
+SCALING_PAIR={lo},{hi} python bench_scaling.py`.
 
 Job: synthetic Common-Crawl-style pages table ({n_pages:,} pages, Zipf host
 skew), {batches} frontier batches, URLs scheduled+fetch-simulated per
@@ -282,17 +291,17 @@ jobs via df.observe — 4 Spark jobs/batch). Fetch simulation does the real
 per-URL pipeline work: corpus join, link+text extraction (one Arrow pass),
 sha1 digest, parquet checkpoint.
 
-## Interleaved rounds (primary pair local[2] -> local[8]; 4x cores)
+## Interleaved rounds (primary pair local[{lo}] -> local[{hi}]; {ratio:.0f}x cores)
 
-| round | t local[2] | t local[8] | t local[32] | urls/s @2 | urls/s @8 | urls/s @32 | speedup 2->8 | speedup 8->32 |
+| round | t local[{lo}] | t local[{hi}] | t local[{wide}] | urls/s @{lo} | urls/s @{hi} | urls/s @{wide} | speedup {lo}->{hi} | speedup {hi}->{wide} |
 |---|---|---|---|---|---|---|---|---|
 {rows}
 
-- median frontier speedup at 4x cores: **{med:.2f}x** (raw efficiency {med/4:.2f}); best round {best:.2f}x
-- hardware ceilings at 4x busy processes, same epoch, no JVM: cpu {hw_speedup:.2f}x, memory-bandwidth {bw_speedup:.2f}x
+- median frontier speedup at {ratio:.0f}x cores: **{med:.2f}x** (raw efficiency {med/ratio:.2f}); best round {best:.2f}x
+- hardware ceilings at {ratio:.0f}x busy processes ({lo} -> {hi}), same epoch, no JVM: cpu {hw_speedup:.2f}x, memory-bandwidth {bw_speedup:.2f}x
 - software efficiency vs the matched (bandwidth) ceiling: **{report['software_efficiency_vs_bw']:.2f}**; vs the cpu ceiling: {report['software_efficiency_vs_cpu']:.2f} (target >= 0.8 against what the hardware can deliver — the frontier streams 3 KB blobs, a bandwidth-class load)
 
-## Why local[32] is a host artifact
+## Why local[{wide}] is a host artifact
 
 The bandwidth burn shows this box's memory system saturates near 8 busy
 processes in most epochs; the frontier streams 3 KB html blobs through
@@ -307,21 +316,22 @@ so nothing in the software serializes at higher width.
 
 | busy procs | cpu tasks/s (arithmetic) | bw tasks/s (120 MB streaming copies) |
 |---|---|---|
-| 2 | {cpu[2]:.2f} | {bw[2]:.2f} |
-| 8 | {cpu[8]:.2f} | {bw[8]:.2f} |
-| 32 | {cpu[32]:.2f} | {bw[32]:.2f} |
+| {lo} | {cpu[lo]:.2f} | {bw[lo]:.2f} |
+| {hi} | {cpu[hi]:.2f} | {bw[hi]:.2f} |
+| {wide} | {cpu[wide]:.2f} | {bw[wide]:.2f} |
 
 ## vs the reference
 
 The reference library (BASELINE.md) reads ~13.8k-39k records/s on ONE core
 with no scheduler, no dedup, no checkpointing. The engine schedules+
-fetch-simulates {max(r['ups8'] for r in rr):,} urls/s at local[8]
-({max(r['ups2'] for r in rr):,} even at local[2]) *including* frontier
+fetch-simulates {max(r['ups8'] for r in rr):,} urls/s at local[{hi}]
+({max(r['ups2'] for r in rr):,} even at local[{lo}]) *including* frontier
 scheduling, bloom membership, politeness, link+text extraction, digesting
 and snapshot checkpointing per batch.
 
 Reproduce: `python bench_scaling.py`
-(env: SCALING_PAGES, SCALING_SEEDS, SCALING_BATCHES, SCALING_ROUNDS).
+(env: SCALING_PAGES, SCALING_SEEDS, SCALING_BATCHES, SCALING_ROUNDS,
+SCALING_PAIR, SCALING_WIDE, SCALING_DRIVER_MEM).
 """
         )
 

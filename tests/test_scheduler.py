@@ -236,3 +236,44 @@ def test_robots_rules_from_bodies_feeds_gate(spark):
     )
     kept = {r.url for r in apply_robots(frontier, rules).collect()}
     assert kept == {"http://h0.example.org/ok", "http://h3.example.org/new"}
+
+
+def test_budgets_from_crawl_delay(spark):
+    """robots Crawl-delay -> per-host per-batch budgets, end to end through
+    the politeness gate."""
+    from warc_spark.operators.politeness import (
+        apply_politeness,
+        budgets_from_crawl_delay,
+    )
+    from warc_spark.operators.robots import robots_rules_from_bodies
+
+    bodies = spark.createDataFrame(
+        [
+            ("slow.example.org", "User-agent: *\nCrawl-delay: 30\n"),
+            ("fast.example.org", "User-agent: *\nCrawl-delay: 0.5\n"),
+            ("verylimited.example.org", "User-agent: *\nCrawl-delay: 1000\n"),
+            ("nodelay.example.org", "User-agent: *\nDisallow: /x\n"),
+        ],
+        "host string, body string",
+    )
+    rules = robots_rules_from_bodies(bodies)
+    budgets = budgets_from_crawl_delay(rules, batch_seconds=60, max_budget=50)
+    got = {r.host: r.max_fetches_per_batch for r in budgets.collect()}
+    assert got == {
+        "slow.example.org": 2,          # 60 / 30
+        "fast.example.org": 50,         # 120 capped at max_budget
+        "verylimited.example.org": 1,   # delay > batch still crawls 1
+    }
+    frontier = spark.createDataFrame(
+        [
+            (f"http://{h}/p{i}", h, 1.0 - i * 0.01)
+            for h in ("slow.example.org", "nodelay.example.org")
+            for i in range(5)
+        ],
+        "url string, host string, priority double",
+    )
+    kept = apply_politeness(frontier, budgets, default_budget=3)
+    per_host = {
+        r.host: r["count"] for r in kept.groupBy("host").count().collect()
+    }
+    assert per_host == {"slow.example.org": 2, "nodelay.example.org": 3}

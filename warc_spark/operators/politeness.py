@@ -68,6 +68,38 @@ def flag_politeness(
     return out.drop("_rn")
 
 
+def budgets_from_crawl_delay(
+    robots: DataFrame,
+    batch_seconds: float,
+    max_budget: int | None = None,
+) -> DataFrame:
+    """Derive per-host politeness budgets from robots.txt ``Crawl-delay``:
+    a host allowing one fetch every d seconds gets
+    ``floor(batch_seconds / d)`` fetches per batch (>= 1 — a delay longer
+    than the batch still crawls, just one url per batch). Hosts without a
+    delay are absent from the output and fall back to ``default_budget``
+    in flag_politeness. This closes the loop robots parse -> scheduler:
+    the rules table's crawl_delay column actually throttles the crawl."""
+    out = (
+        robots.filter(F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0))
+        .select(
+            "host",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(float(batch_seconds)) / F.col("crawl_delay")),
+            )
+            .cast("int")
+            .alias("max_fetches_per_batch"),
+        )
+    )
+    if max_budget is not None:
+        out = out.withColumn(
+            "max_fetches_per_batch",
+            F.least(F.col("max_fetches_per_batch"), F.lit(int(max_budget))),
+        )
+    return out
+
+
 def apply_politeness(
     frontier: DataFrame,
     budgets: DataFrame | None = None,

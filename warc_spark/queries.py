@@ -1151,6 +1151,46 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_audio_stats",
+    oracle="""
+    SELECT vec_id,
+           1 AS channels, 8000 AS sample_rate,
+           CAST(ROUND(1000.0 * (4000 + (vec_id % 64) * 24) / 8000) AS INT) AS duration_ms
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the gate: deterministic PCM WAV clips
+    (8 kHz mono, 4000 + 24*(id mod 64) samples (sample counts divisible by 8, so duration_ms is exact — no round-half ambiguity) of a seeded sine) encoded
+    executor-side, decoded by the real stdlib-wave kernel; channel count,
+    sample rate and duration must match the closed form."""
+    from .functions.multimodal import encode_wav
+
+    ids = t(spark, sf_dir, "embeddings").select("vec_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf["vec_id"]:
+                n = 4000 + (int(i) % 64) * 24
+                tt = np.arange(n, dtype=np.float64) / 8000.0
+                sig = (0.25 * np.sin(2 * np.pi * (100 + int(i) % 50) * tt)).astype(
+                    np.float32
+                )
+                blobs.append(encode_wav(sig[:, None], 8000))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "clip": blobs})
+
+    clips = ids.mapInPandas(gen, "vec_id long, clip binary")
+    meta = decode_media(clips, "clip", keep=["vec_id"])
+    return meta.select(
+        "vec_id", "channels", "sample_rate", "duration_ms"
+    ).orderBy("vec_id")
+
+
+@register(
     "q7_volume_shipping",
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
