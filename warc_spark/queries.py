@@ -874,6 +874,51 @@ def stream_bloom_seen_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.orderBy("url")
 
 
+@register(
+    "stream_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming face of the hourly rollup: the SAME events
+    files read incrementally (file stream source), watermarked event-time
+    windows, drained with Trigger.AvailableNow in complete mode — the
+    stream result must equal the batch/DuckDB aggregation bit-for-bit
+    (stream==batch parity as a driver-gate oracle, not just a unit test)."""
+    import uuid as _uuid
+
+    from .streaming import run_available_now
+
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    # the file stream source requires a directory: expose the (read-only)
+    # events file through a temp landing dir via symlink — zero copy
+    landing = tempfile.mkdtemp(prefix="qstream_events_")
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(landing)
+    # watermarks require TIMESTAMP (LTZ); session tz is UTC so the NTZ
+    # parquet values round-trip exactly, and the output casts back to NTZ
+    rolled = (
+        stream.withColumn("ts_ltz", F.col("ts").cast("timestamp_ltz"))
+        .withWatermark("ts_ltz", "2 hours")
+        .groupBy(F.window("ts_ltz", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("hour"),
+            "event_type",
+            "n",
+        )
+    )
+    return run_available_now(
+        rolled, f"q_stream_hourly_{_uuid.uuid4().hex[:8]}", output_mode="complete"
+    )
+
+
 @register("media_decode_fake")
 def media_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over arbitrary bytes: treat html payloads as
