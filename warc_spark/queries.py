@@ -564,6 +564,55 @@ def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "doc_full_dedup_survivors",
+    oracle=r"""
+    WITH ex AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS grams
+      FROM (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM ex)
+    ),
+    dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= 0.5
+    )
+    SELECT s.lang, COUNT(*) AS n_survivors
+    FROM sh s LEFT JOIN dropped d ON s.doc_id = d.doc_id
+    WHERE d.doc_id IS NULL
+    GROUP BY s.lang ORDER BY s.lang
+    """,
+)
+def doc_full_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data dedup pipeline: exact dedup (keep-min-id
+    per identical text) THEN near-dup removal (drop every doc that has a
+    lower-id MinHash-verified near-dup at Jaccard>=0.5), aggregated per
+    lang. The oracle replays both stages brute-force — so the oracle gate
+    checks the pipeline composition, not just each operator alone."""
+    d = t(spark, sf_dir, "documents")
+    survivors = dedup.dedup_exact(d, id_col="doc_id", text_col="text")
+    pairs = dedup.minhash_lsh_pairs(
+        survivors, id_col="doc_id", text_col="text",
+        n_hashes=64, bands=16, shingle=3, jaccard_threshold=0.5,
+    )
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        survivors.join(dropped, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_survivors"))
+        .orderBy("lang")
+    )
+
+
 _LANG_SCORE_SQL = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
     "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
