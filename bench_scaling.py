@@ -20,8 +20,10 @@ controlled):
    once per level), for several rounds; each round yields a same-epoch
    speedup ratio, and the report carries every round plus the median.
 
-The primary pair is local[2] -> local[8] (inside the host's linear region
-for both burns); local[8] -> local[32] is reported as a secondary point.
+The primary pair is local[1] -> local[4] (both endpoints inside the host's
+linear region for both burns — the closest single-box proxy for disjoint
+executors); local[4] -> local[16] is reported as a secondary point.
+Override via SCALING_PAIR=lo,hi and SCALING_WIDE.
 
     software_efficiency = median frontier speedup / hardware cpu speedup
 """
@@ -191,9 +193,9 @@ def main() -> None:
     # calibration burns print the ceilings — a pair past the bandwidth
     # knee measures the box, not the software)
     lo, hi = (
-        int(x) for x in os.environ.get("SCALING_PAIR", "2,8").split(",")
+        int(x) for x in os.environ.get("SCALING_PAIR", "1,4").split(",")
     )
-    wide = int(os.environ.get("SCALING_WIDE", "32"))
+    wide = int(os.environ.get("SCALING_WIDE", "16"))
 
     cpu = {k: calibrate(_cpu_burn, k, [40_000_000]) for k in (lo, hi, wide)}
     bw = {k: calibrate(_bw_burn, k, [0]) for k in (lo, hi, wide)}
