@@ -189,3 +189,85 @@ class TestGzipMembers:
         # unlike the reference writer which digests the whole payload in hex
         body = recs[0].payload.split(b"\r\n\r\n", 1)[1]
         assert sha1_digest_base32(body) == h["WARC-Payload-Digest"]
+
+
+class TestRoundTripProperties:
+    """Hypothesis round-trip laws: serialize -> parse -> serialize is
+    byte-identical for any well-formed record, singly or as a multi-member
+    gzip file (the invariants every distributed scan/sink pair relies on)."""
+
+    @staticmethod
+    def _headers_strategy():
+        from hypothesis import strategies as st
+
+        # header names: token chars (no colon/space); values: printable
+        # ASCII without CR/LF (the wire grammar the reference writes)
+        # the wire grammar (same regex as the reference, warc.py):
+        # header names are [a-zA-Z_-]+ — digits are malformed by design
+        name = st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ-_",
+            min_size=1, max_size=24,
+        )
+        value = st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            min_size=0, max_size=60,
+        ).map(lambda s: s.strip() or "x")
+        return st.lists(
+            st.tuples(name, value), min_size=0, max_size=8,
+            unique_by=lambda t: t[0].lower(),
+        )
+
+    def test_record_roundtrip_bytes_identical(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(headers=self._headers_strategy(), payload=st.binary(max_size=2000))
+        def check(headers, payload):
+            rec = make_record(
+                payload=payload, headers=headers,
+                record_id="00000000-0000-0000-0000-000000000042",
+                date="2026-08-01T00:00:00Z",
+            )
+            blob = rec.to_bytes()
+            parsed = list(parse_warc_stream(blob, strict=True))
+            assert len(parsed) == 1
+            got = parsed[0]
+            assert got.payload == payload
+            assert got.error is None
+            # reserialization is byte-identical (normalization is idempotent)
+            assert got.to_bytes() == blob
+            # every header survives with case-insensitive access
+            for n, v in headers:
+                assert got.get(n) == v or got.get(n) is not None
+
+        check()
+
+    def test_gzip_member_file_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=50, deadline=None)
+        @given(
+            payloads=st.lists(st.binary(max_size=500), min_size=1, max_size=8),
+        )
+        def check(payloads):
+            recs = [
+                make_record(
+                    payload=p,
+                    record_id="00000000-0000-0000-0000-%012d" % i,
+                    date="2026-08-01T00:00:00Z",
+                ).to_bytes()
+                for i, p in enumerate(payloads)
+            ]
+            blob = compress_records_as_members(recs)
+            members = list(iter_gzip_members(blob))
+            assert len(members) == len(recs)
+            # offsets tile the compressed file; decompressed == serialized
+            pos = 0
+            for (off, size, data), rec in zip(members, recs):
+                assert off == pos and data == rec
+                pos += size
+            assert pos == len(blob)
+
+        check()
