@@ -362,3 +362,68 @@ class TestMissingFetch:
         assert len(missing) == 6 and len(found) > 0
         assert all(r.text_extracted is None and r.n_links == 0 for r in missing)
         assert all(r.text_extracted is not None for r in found)
+
+
+class TestRecrawl:
+    """Expiry + re-seeding (E5 recrawl semantics): expired urls crawl
+    again; non-expired seen urls stay deduplicated — under BOTH membership
+    backends (cuckoo deletes fingerprints; bloom relies on the exact
+    rescue, the stale bit only costing a lookup)."""
+
+    def _crawl_then_expire(self, spark, pages_df, seeds_df, root, backend):
+        cfg = FrontierConfig(
+            max_batches=2, default_budget=4, seen_backend=backend,
+            bloom_buckets=8, bloom_bits=1 << 12,
+        )
+        store = SnapStore(str(root / backend))
+        eng = FrontierEngine(spark, pages_df, store, config=cfg)
+        eng.run(seeds_df)
+        sched = [r.url for r in store.read_all_scheduled(spark, 1)
+                 .orderBy("url").collect()]
+        expired = sched[:3]
+        kept_seen = sched[3:5]
+        eng.expire_urls(spark.createDataFrame([(u,) for u in expired], "url string"))
+        # the seen log no longer contains the expired urls
+        seen_now = {r.url for r in store.read_seen_urls(spark, 1).collect()}
+        assert not (set(expired) & seen_now)
+        assert set(kept_seen) <= seen_now
+        # resume with seeds = expired + still-seen urls
+        eng2 = FrontierEngine(
+            spark, pages_df, store,
+            config=FrontierConfig(
+                max_batches=3, default_budget=100, seen_backend=backend,
+                bloom_buckets=8, bloom_bits=1 << 12,
+            ),
+        )
+        reseed = spark.createDataFrame(
+            [(u, 10.0) for u in expired + kept_seen], "url string, priority double"
+        )
+        eng2.run(reseed, resume=True)
+        batch2 = {r.url for r in store.read_df(spark, 2, "scheduled").collect()}
+        return set(expired), set(kept_seen), batch2
+
+    @pytest.mark.parametrize("backend", ["cuckoo", "bloom"])
+    def test_expired_urls_recrawl(self, spark, pages_df, seeds_df, tmp_path, backend):
+        expired, kept_seen, batch2 = self._crawl_then_expire(
+            spark, pages_df, seeds_df, tmp_path, backend
+        )
+        assert expired <= batch2, "expired urls must be crawled again"
+        assert not (kept_seen & batch2), "non-expired seen urls must stay deduped"
+
+
+class TestCuckooFrontier:
+    def test_cuckoo_equals_exact(self, spark, pages_df, seeds_df, tmp_path):
+        """Cuckoo-backed membership must reproduce the exact-anti-join
+        crawl batch-for-batch (fingerprint false positives are rescued
+        exactly, insert is lossless)."""
+        cfg_c = FrontierConfig(max_batches=3, default_budget=4,
+                               seen_backend="cuckoo", bloom_buckets=8)
+        cfg_e = FrontierConfig(max_batches=3, default_budget=4, use_bloom=False)
+        store_c, mc = run_engine(spark, pages_df, seeds_df, tmp_path / "ck", cfg_c)
+        store_e, me = run_engine(spark, pages_df, seeds_df, tmp_path / "ex", cfg_e)
+        assert len(mc) == len(me)
+        assert collect_batches(store_c, spark, len(mc)) == collect_batches(
+            store_e, spark, len(me)
+        )
+        for m in mc:
+            assert "cuckoo_state" in m["tables"]

@@ -49,6 +49,10 @@ def _build_parser() -> argparse.ArgumentParser:
              "holds blob bytes)",
     )
     c.add_argument(
+        "--seen-backend", choices=("bloom", "cuckoo"), default="bloom",
+        help="membership filter; cuckoo supports expiry/recrawl (deletion)",
+    )
+    c.add_argument(
         "--rescue-mode", choices=("auto", "broadcast", "shuffle"), default="auto",
         help="emit-dedup sliver rescue plan; forcing one skips the "
              "per-batch sliver-count job",
@@ -85,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
             bloom_buckets=args.bloom_buckets, bloom_bits=args.bloom_bits,
             distributed_probe=args.distributed_probe,
             rescue_mode=args.rescue_mode,
+            seen_backend=args.seen_backend,
         ),
     )
     manifests = eng.run(seeds, resume=args.resume)

@@ -81,6 +81,13 @@ class FrontierConfig:
     # configuration; crawl ordering and seen set are identical either way
     # (tests/test_frontier.py::TestDistributedProbe).
     distributed_probe: bool = False
+    # membership filter: "bloom" (append-only, broadcast-map or distributed
+    # probe) or "cuckoo" (deletion-capable — the E5 recrawl path: state is
+    # a distributed fingerprint table, expire_urls() deletes from it).
+    # Either way the maybe-seen sliver is resolved EXACTLY, so expiry is
+    # correct even under bloom (the stale bit costs a rescue lookup, never
+    # a wrong drop).
+    seen_backend: str = "bloom"
     min_priority: float = 1e-6
     # emit-side dedup: if the maybe-seen sliver has at most this many rows,
     # resolve it via the broadcast semi-join flip (seen set scan-only);
@@ -164,8 +171,11 @@ class FrontierEngine:
         self.bloom = BloomSeenSet(
             n_buckets=self.cfg.bloom_buckets, m_bits=self.cfg.bloom_bits
         )
+        from .seen import CuckooSeenSet
+
+        self.cuckoo = CuckooSeenSet(n_buckets=self.cfg.bloom_buckets)
         self._blob_bc = None  # broadcast of the driver blob map
-        self._blobs_state = None  # distributed blob-state DF (distributed_probe)
+        self._blobs_state = None  # distributed state DF (distributed/cuckoo)
 
     # -- state helpers ------------------------------------------------------
     def _with_host(self, df: DataFrame) -> DataFrame:
@@ -187,6 +197,25 @@ class FrontierEngine:
             frontier = self.store.read_df(self.spark, last, "frontier")
             if cfg.use_bloom:
                 blob_map = self._resume_bloom_state(last)
+            if seeds is not None:
+                # continuous re-seeding: inject fresh seeds into the
+                # restored frontier, minus everything already crawled —
+                # with expire_urls() this is the recrawl entry point
+                # (expired urls are absent from the seen log, so they
+                # pass the anti-join and get scheduled again)
+                inj = (
+                    self._with_host(seeds.select("url", "priority"))
+                    .join(
+                        self.store.read_seen_urls(self.spark, last),
+                        "url",
+                        "left_anti",
+                    )
+                )
+                frontier = (
+                    frontier.unionByName(inj)
+                    .groupBy("url", "host")
+                    .agg(F.max("priority").alias("priority"))
+                )
         else:
             start = 0
             frontier = (
@@ -214,6 +243,34 @@ class FrontierEngine:
             self._blobs_state = None
         return manifests
 
+    def expire_urls(self, urls: DataFrame) -> None:
+        """Recrawl entry point (E5): drop urls from the seen state so a
+        later ``run(seeds, resume=True)`` re-seeding them crawls them
+        again. Always rewrites the exact seen log (the authority the
+        rescue consults — correct under EITHER backend); with the cuckoo
+        backend the fingerprints are also deleted from the checkpointed
+        filter state (bloom bits cannot be cleared — the stale bit just
+        costs a rescue lookup until the blobs are rebuilt)."""
+        last = self.store.latest()
+        self.store.expire_seen(self.spark, urls)
+        if self.cfg.seen_backend == "cuckoo" and last is not None:
+            import os as _os
+
+            state_path = _os.path.join(self.store.batch_dir(last), "cuckoo_state")
+            if _os.path.exists(state_path):
+                state = self.spark.read.parquet(state_path)
+                updated = self.cuckoo.delete_urls(state, urls)
+                # write-then-replace through a sibling dir (write_df would
+                # truncate the dir we are still lazily reading from)
+                self.store.write_df(updated, last, "cuckoo_state_expired")
+                import shutil as _shutil
+
+                _shutil.rmtree(state_path)
+                _os.rename(state_path + "_expired", state_path)
+        if self._blobs_state is not None:
+            self._blobs_state.unpersist()
+            self._blobs_state = None
+
     def _resume_bloom_state(self, last: int) -> dict[int, bytes]:
         """Restore the membership state for a resume, validating the stored
         config against the resuming one (ADVICE r1: a --no-bloom store
@@ -233,6 +290,30 @@ class FrontierEngine:
 
         cfg = self.cfg
         stored = self.store.manifest(last).get("config", {})
+        if cfg.seen_backend == "cuckoo":
+            if stored.get("use_bloom", False) and stored.get("seen_backend") == "cuckoo":
+                if stored.get("bloom_buckets", cfg.bloom_buckets) != cfg.bloom_buckets:
+                    raise ValueError(
+                        "cannot resume: cuckoo state was written with "
+                        f"bloom_buckets={stored.get('bloom_buckets')} but this "
+                        f"engine uses {cfg.bloom_buckets}"
+                    )
+                self._blobs_state = self.store.read_df(
+                    self.spark, last, "cuckoo_state"
+                ).persist()
+            else:
+                self._blobs_state = self.cuckoo.build_blobs(
+                    self.store.read_seen_urls(self.spark, last)
+                ).persist()
+            return {}
+        if stored.get("use_bloom", False) and stored.get("seen_backend", "bloom") != "bloom":
+            # store holds cuckoo state; rebuild bloom from the seen log
+            return self.bloom.merge_blob_map(
+                {},
+                self.bloom.build_blobs(
+                    self.store.read_seen_urls(self.spark, last)
+                ).collect(),
+            )
         if stored.get("use_bloom", False):
             for key in ("bloom_buckets", "bloom_bits"):
                 if key in stored and stored[key] != getattr(cfg, key):
@@ -378,7 +459,22 @@ class FrontierEngine:
         # path). The driver map accumulates the same OR for the broadcast
         # probe while total blob bytes are broadcast-sized.
         tables = {"scheduled": sched_info}
-        if cfg.use_bloom:
+        if cfg.use_bloom and cfg.seen_backend == "cuckoo":
+            # deletion-capable membership: one distributed fingerprint
+            # table, urls inserted incrementally, checkpointed per batch
+            # (same read-back lineage truncation as the bloom state)
+            state = (
+                self.cuckoo.build_blobs(retired)
+                if self._blobs_state is None
+                else self.cuckoo.insert_urls(self._blobs_state, retired)
+            )
+            tables["cuckoo_state"] = self.store.write_df(state, batch, "cuckoo_state")
+            if self._blobs_state is not None:
+                self._blobs_state.unpersist()
+            self._blobs_state = self.store.read_df(
+                self.spark, batch, "cuckoo_state"
+            ).persist()
+        elif cfg.use_bloom:
             if cfg.distributed_probe:
                 new_blobs = self.bloom.build_blobs(retired).persist()
                 tables["bloom"] = self.store.write_df(new_blobs, batch, "bloom")
@@ -444,7 +540,9 @@ class FrontierEngine:
             # needs exact membership. Broadcast-map path = zero shuffle of
             # the candidates; distributed path = co-partitioned join on
             # bucket (the state never collects to one node).
-            if cfg.distributed_probe:
+            if cfg.seen_backend == "cuckoo":
+                probed = self.cuckoo.probe(merged_cands, self._blobs_state).persist()
+            elif cfg.distributed_probe:
                 probed = self.bloom.probe(
                     merged_cands, self._blobs_state, broadcast=False
                 ).persist()

@@ -370,6 +370,37 @@ class CuckooSeenSet:
             .applyInPandas(build, CUCKOO_SCHEMA)
         )
 
+    def insert_urls(
+        self, blobs: DataFrame, urls: DataFrame, url_col: str = "url"
+    ) -> DataFrame:
+        """Incremental state update: insert urls into EXISTING per-bucket
+        tables (full outer on bucket — new buckets start empty). This is
+        the cuckoo analog of BloomSeenSet.merge_blobs and what makes the
+        filter usable as mutable frontier membership state."""
+        tb = self.table_buckets
+
+        def insert(pdf: pd.DataFrame) -> pd.DataFrame:
+            blob = next((b for b in pdf["blob"] if b is not None), None)
+            table = (
+                np.frombuffer(bytes(blob), dtype=np.uint16).reshape(tb, 4).copy()
+                if blob is not None
+                else self._empty_table()
+            )
+            todo = pdf[pdf["_url"].notna()]["_url"]
+            n = int(next((x for x in pdf["n_items"] if x is not None and x == x), 0) or 0)
+            if len(todo):
+                n += self._insert_all(table, todo)
+            return pd.DataFrame(
+                {"bucket": [int(pdf["bucket"].iloc[0])], "blob": [table.tobytes()], "n_items": [n]}
+            )
+
+        with_bucket = urls.select(
+            F.col(url_col).alias("_url"),
+            bucket_of(F.col(url_col), self.n_buckets).alias("bucket"),
+        )
+        joined = blobs.join(with_bucket, on="bucket", how="full")
+        return joined.groupBy("bucket").applyInPandas(insert, CUCKOO_SCHEMA)
+
     def delete_urls(self, blobs: DataFrame, urls: DataFrame, url_col: str = "url") -> DataFrame:
         """Remove urls from the filter (the operation Bloom cannot do)."""
         tb = self.table_buckets

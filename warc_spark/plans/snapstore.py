@@ -129,6 +129,29 @@ class SnapStore:
             self.read_seen_urls(spark, upto), upto, "seen_compact"
         )
 
+    def expire_seen(self, spark: SparkSession, urls: DataFrame) -> dict[str, Any]:
+        """Remove urls from the seen log (recrawl semantics): rewrite the
+        compacted seen table at the latest batch WITHOUT them. Subsequent
+        reads exclude the urls, so the emit-dedup's exact rescue treats
+        them as new; a later recrawl re-appends them via its own batch's
+        scheduled delta — third and later sightings dedup normally. On a
+        real deployment this is an Iceberg/Delta DELETE on the seen table."""
+        last = self.latest()
+        if last is None:
+            raise ValueError("nothing crawled yet; no seen state to expire from")
+        remaining = self.read_seen_urls(spark, last).join(
+            urls.select("url"), "url", "left_anti"
+        )
+        # write-then-swap: the plan may lazily read the existing compact at
+        # this very batch, so never truncate the dir being read from
+        info = self.write_df(remaining, last, "seen_compact_new")
+        final = os.path.join(self.batch_dir(last), "seen_compact")
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(info["path"], final)
+        info["path"] = final
+        return info
+
     def read_seen_urls(self, spark: SparkSession, upto: int) -> DataFrame:
         """urls scheduled in batches 0..upto: the latest compacted prefix
         (if any) plus the per-batch deltas after it. Equivalent to

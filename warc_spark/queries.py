@@ -1504,6 +1504,80 @@ def q16_suppliers_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.2 * AVG(CAST(l_quantity AS DECIMAL(18,2))) AS qty_bar
+          FROM lineitem GROUP BY l_partkey) t
+      ON t.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11' AND l.l_quantity < t.qty_bar
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated to a self-agg + join. The per-part averages are
+    a small table — broadcast back against lineitem, so lineitem is
+    scanned twice but never shuffled for a join."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    bars = (
+        l.groupBy(F.col("l_partkey").alias("_pk"))
+        .agg((F.lit(0.2) * F.avg(_dec("l_quantity"))).alias("qty_bar"))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bars), l.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_bar"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    SELECT SUBSTRING(c.c_name, 10, 1) AS cgroup,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2)))
+                         FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar aggregate as a filter (broadcast
+    scalar) + NOT EXISTS decorrelated to a left-anti join, grouped by a
+    substring key. Note: like customers_without_orders this can return 0
+    rows on dense order data — the shape (anti-join under a scalar
+    subquery filter) is what is exercised."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(_dec("c_acctbal")).alias("a"))
+        .head()["a"]
+    )
+    return (
+        c.filter(_dec("c_acctbal") > F.lit(avg_bal))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 10, 1).alias("cgroup"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("cgroup")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_REGISTRY)
 
