@@ -38,6 +38,11 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--batches", type=int, default=10)
     c.add_argument("--budget", type=int, default=64, help="per-host politeness budget")
     c.add_argument("--robots", help="parquet dir with (host, disallow_prefixes, crawl_delay)")
+    c.add_argument(
+        "--batch-seconds", type=float, default=None,
+        help="derive per-host politeness budgets from robots Crawl-delay "
+             "(budget = floor(batch_seconds / delay), min 1)",
+    )
     c.add_argument("--resume", action="store_true", help="continue from last snapshot")
     c.add_argument("--no-bloom", action="store_true", help="exact-only membership")
     c.add_argument("--bloom-buckets", type=int, default=64)
@@ -80,9 +85,14 @@ def main(argv: list[str] | None = None) -> int:
         n_pages = args.synth_pages or pages.count()
         seeds = synth_seeds(spark, n_pages, n_seeds=args.seeds, seed=args.seed)
     robots = spark.read.parquet(args.robots) if args.robots else None
+    budgets = None
+    if robots is not None and args.batch_seconds:
+        from .operators.politeness import budgets_from_crawl_delay
+
+        budgets = budgets_from_crawl_delay(robots, args.batch_seconds)
 
     eng = FrontierEngine(
-        spark, pages, SnapStore(args.out), robots=robots,
+        spark, pages, SnapStore(args.out), robots=robots, budgets=budgets,
         config=FrontierConfig(
             max_batches=args.batches, default_budget=args.budget,
             use_bloom=not args.no_bloom,
