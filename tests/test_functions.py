@@ -318,3 +318,43 @@ class TestSimhashBandingProperty:
             )
 
         check()
+
+
+class TestIVFIndex:
+    def test_partition_pruned_probe(self, spark, tmp_path):
+        """The written IVF layout turns the nprobe filter into parquet
+        partition PRUNING: the plan's PartitionFilters carries the cell
+        IN-list, only nprobe cell directories are scanned, and the result
+        equals the in-memory IVF probe."""
+        import glob
+        import io
+        import os
+        from contextlib import redirect_stdout
+
+        rng = np.random.RandomState(7)
+        centers = rng.standard_normal((8, 8)) * 3
+        mat = np.vstack([centers[i % 8] + rng.standard_normal(8) * 0.3 for i in range(400)])
+        df = spark.createDataFrame(
+            [(i, mat[i].tolist()) for i in range(400)], "vec_id long, embedding array<float>"
+        )
+        path = str(tmp_path / "ivf")
+        cents = similarity.write_ivf_index(df, path, n_cells=8, seed=42)
+        assert len(glob.glob(os.path.join(path, "cell=*"))) > 4  # real layout
+        q = mat[5].tolist()
+        got = similarity.cosine_topk_ivf_indexed(
+            spark, path, cents, q, k=10, nprobe=2
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            got.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan and "cell" in plan
+        rows = got.collect()
+        assert rows[0].vec_id == 5  # own cell always probed
+        # equals the in-memory assign-and-filter IVF with the same quantizer
+        mem = similarity.cosine_topk_ivf(
+            df, q, k=10, nprobe=2, centroids=cents
+        ).collect()
+        assert [(r.vec_id, r.cosine) for r in rows] == [
+            (r.vec_id, r.cosine) for r in mem
+        ]

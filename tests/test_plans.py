@@ -142,3 +142,40 @@ def test_embedding_lsh_band_shuffle_carries_no_vectors(spark, sf_dir):
     for b in blocks:
         assert "posexplode" in b
         assert "_v#" not in b, b
+
+
+def test_bucketed_corpus_join_has_single_exchange(spark, tmp_path):
+    """The 100 TB corpus layout: a url-bucketed pages table joins the
+    schedule side with NO exchange above the corpus scan — only the
+    schedule side shuffles (into the bucket layout). This is the on-disk
+    version of FrontierEngine's repartition+persist, valid across
+    sessions without any cache."""
+    from warc_spark.plans.layout import read_pages_bucketed, write_pages_bucketed
+    from warc_spark.sources.pages import synth_pages
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    pages = synth_pages(spark, 2000, seed=42).select("url", "html")
+    write_pages_bucketed(pages, "t_pages_bucketed", n_buckets=8)
+    try:
+        corpus = read_pages_bucketed(spark, "t_pages_bucketed")
+        sched = spark.range(0, 500).select(
+            F.concat(F.lit("http://host0.example.org/page/"), F.col("id").cast("string")).alias("url"),
+            F.lit(1.0).alias("priority"),
+        )
+        # disable broadcast so the join must pick a shuffle strategy — the
+        # bucketed side's layout then shows up as a missing Exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p = plan_of(sched.join(corpus, "url", "left"))
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        import re as _re
+
+        n_exchanges = len(_re.findall(r"\(\d+\) Exchange", p))
+        assert n_exchanges == 1, p  # schedule side only; corpus is bucketed
+        assert "SortMergeJoin" in p
+        assert "Bucketed: true" in p or "SelectedBucketsCount" in p, p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pages_bucketed")
