@@ -236,3 +236,11 @@ def test_write_arc_roundtrip_and_golden(spark, tmp_path):
     assert sum(m.records for m in mz if m.records) == 10
     back_gz = read_arc(spark, os.path.join(out_gz, "*.arc.gz"))
     assert {(r.url, bytes(r.payload)) for r in back_gz.collect()} == got
+
+
+def test_dispatch_presplit(spark, warc_file):
+    gz, _ = warc_file
+    split = max(1, os.path.getsize(gz) // 4)
+    a = open_archive(spark, gz).count()
+    b = open_archive(spark, gz, split_bytes=split).count()
+    assert a == b == 25
