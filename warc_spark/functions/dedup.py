@@ -46,18 +46,25 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 
 
 def _shingle_hashes(texts: pd.Series, shingle: int) -> list[np.ndarray]:
-    """Per doc: uint64 hashes of word ``shingle``-grams (vectorized via
-    pandas hashing of concatenated shingles)."""
-    out = []
+    """Per doc: uint64 hashes of word ``shingle``-grams. All grams of the
+    Arrow batch hash in ONE ``pd.util.hash_array`` call (hashing per doc
+    was the kernel hot spot); per-doc slices come from recorded offsets."""
+    all_grams: list[str] = []
+    offsets = [0]
     for t in texts.fillna(""):
         toks = t.lower().split()
         if len(toks) < shingle:
-            grams = [" ".join(toks)] if toks else [""]
+            all_grams.append(" ".join(toks) if toks else "")
         else:
-            grams = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
-        h = pd.util.hash_array(np.asarray(grams, dtype=object), hash_key="warcsparkshingle")
-        out.append(np.unique(h))
-    return out
+            all_grams.extend(
+                " ".join(toks[i : i + shingle])
+                for i in range(len(toks) - shingle + 1)
+            )
+        offsets.append(len(all_grams))
+    h = pd.util.hash_array(
+        np.asarray(all_grams, dtype=object), hash_key="warcsparkshingle"
+    )
+    return [np.unique(h[offsets[i] : offsets[i + 1]]) for i in range(len(offsets) - 1)]
 
 
 def minhash_signature_udf(n_hashes: int = 64, shingle: int = 3, seed: int = 42):
