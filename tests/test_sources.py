@@ -244,3 +244,16 @@ def test_dispatch_presplit(spark, warc_file):
     a = open_archive(spark, gz).count()
     b = open_archive(spark, gz, split_bytes=split).count()
     assert a == b == 25
+
+
+def test_presplit_plain_file_fallback(spark, warc_file):
+    """Plain (uncompressed) WARCs go through the presplit path as one
+    ranged member per file — same records as read_warc."""
+    from warc_spark.sources import read_warc_presplit
+
+    _, plain = warc_file
+    got = {(r.target_uri, bytes(r.payload))
+           for r in read_warc_presplit(spark, plain, split_bytes=100).collect()}
+    ref = {(r.target_uri, bytes(r.payload))
+           for r in read_warc(spark, plain).collect()}
+    assert got == ref and len(got) == 25

@@ -161,9 +161,19 @@ def index_warc_members(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for p, data in zip(pdf["path"], pdf["content"]):
-                for i, (off, size, _) in enumerate(iter_gzip_members(bytes(data))):
+                data = bytes(data)
+                if data[:2] == GZIP_MAGIC:
+                    for i, (off, size, _) in enumerate(iter_gzip_members(data)):
+                        rows.append(
+                            {"path": p, "offset": off, "length": size, "member_index": i}
+                        )
+                else:
+                    # plain (uncompressed) WARC: records have no framing
+                    # boundary that is safe to find without parsing, so the
+                    # file is one "member" — still scanned via the same
+                    # ranged-read path (per-file parallelism, like read_warc)
                     rows.append(
-                        {"path": p, "offset": off, "length": size, "member_index": i}
+                        {"path": p, "offset": 0, "length": len(data), "member_index": 0}
                     )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEMBER_INDEX_SCHEMA.fields]
@@ -236,7 +246,11 @@ def read_warc_presplit(
                     data = fh.read(int(end) - int(start))
                 name = os.path.basename(p)
                 idx_local = int(first)
-                for off, size, payload in iter_gzip_members(data):
+                if data[:2] == GZIP_MAGIC:
+                    members = iter_gzip_members(data)
+                else:  # plain WARC range (whole file; see index_warc_members)
+                    members = [(0, len(data), data)]
+                for off, size, payload in members:
                     for rec in parse_warc_stream(payload, strict=strict):
                         pl = rec.payload
                         if payload_cap is not None:
