@@ -257,3 +257,30 @@ def test_presplit_plain_file_fallback(spark, warc_file):
     ref = {(r.target_uri, bytes(r.payload))
            for r in read_warc(spark, plain).collect()}
     assert got == ref and len(got) == 25
+
+
+def test_random_access_by_offset_index(spark, warc_file):
+    """cc-index pattern: select rows from the member index, ranged-read
+    exactly those records — byte-identical to the scan's records."""
+    from pyspark.sql import functions as SF
+
+    from warc_spark.sources import index_warc_members, read_warc_records
+
+    gz, _ = warc_file
+    idx = index_warc_members(spark, gz)
+    wanted = idx.filter(SF.col("member_index").isin(3, 7, 19)).withColumn(
+        "tag", SF.concat(SF.lit("m"), SF.col("member_index").cast("string"))
+    ).drop("member_index")
+    got = read_warc_records(spark, wanted).collect()
+    assert len(got) == 3
+    ref = {
+        r.offset: r
+        for r in read_warc(spark, gz).collect()
+        if r.record_index in (3, 7, 19)
+    }
+    for r in got:
+        e = ref[r.offset]
+        assert (r.target_uri, bytes(r.payload), r.record_id, r.size) == (
+            e.target_uri, bytes(e.payload), e.record_id, e.size
+        )
+        assert r.tag == "m%d" % e.record_index  # passthrough column

@@ -6,6 +6,7 @@ from .warc_source import (  # noqa: F401
     plan_warc_splits,
     read_warc,
     read_warc_presplit,
+    read_warc_records,
     write_warc,
 )
 from .arc_source import ARC_RECORD_SCHEMA, read_arc, write_arc  # noqa: F401
