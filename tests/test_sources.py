@@ -284,3 +284,39 @@ def test_random_access_by_offset_index(spark, warc_file):
             e.target_uri, bytes(e.payload), e.record_id, e.size
         )
         assert r.tag == "m%d" % e.record_index  # passthrough column
+
+
+def test_pages_from_records_feeds_frontier(spark, tmp_path):
+    """The ingest bridge end to end: synthetic pages -> WARC files on disk
+    -> scanned back -> pages table -> a frontier crawl whose scheduling is
+    IDENTICAL to crawling the original pages table."""
+    from warc_spark.operators.frontier import FrontierConfig, FrontierEngine
+    from warc_spark.plans.snapstore import SnapStore
+    from warc_spark.sources.pages import pages_from_records, synth_seeds
+
+    orig = synth_pages(spark, 300, seed=42, n_hosts=6)
+    wdir = str(tmp_path / "warcs")
+    write_warc(
+        parse_warc_column(orig, "html", keep=[]).select(
+            "header_names", "headers", "payload"
+        ),
+        wdir,
+        compress=True,
+    ).collect()
+    back = pages_from_records(read_warc(spark, os.path.join(wdir, "*.warc.gz")))
+    # the rebuilt pages table equals the original on every column
+    a = orig.orderBy("url").collect()
+    b = back.orderBy("url").collect()
+    assert len(a) == len(b) == 300
+    for ra, rb in zip(a, b):
+        assert (ra.url, bytes(ra.html), ra.text) == (rb.url, bytes(rb.html), rb.text)
+        assert ra.warc_ts == rb.warc_ts
+    seeds = synth_seeds(spark, 300, n_seeds=8, seed=42, n_hosts=6)
+    cfg = FrontierConfig(max_batches=2, default_budget=4)
+    s1, s2 = SnapStore(str(tmp_path / "s1")), SnapStore(str(tmp_path / "s2"))
+    FrontierEngine(spark, orig, s1, config=cfg).run(seeds)
+    FrontierEngine(spark, back, s2, config=cfg).run(seeds)
+    for k in range(2):
+        x = [(r.url, r.priority) for r in s1.read_df(spark, k, "scheduled").orderBy("url").collect()]
+        y = [(r.url, r.priority) for r in s2.read_df(spark, k, "scheduled").orderBy("url").collect()]
+        assert x == y

@@ -278,3 +278,42 @@ def synth_seeds(
     from pyspark.sql import functions as F
 
     return df.groupBy("url").agg(F.max("priority").alias("priority"))
+
+
+def pages_from_records(records: DataFrame) -> DataFrame:
+    """WARC records table (``read_warc``/``read_warc_presplit`` output) ->
+    the input_hint pages table (url, warc_ts, html, text, lang): response
+    records re-serialized to their wire bytes (byte-identical — round-trip
+    law in tests/test_kernels_warc.py), text extracted from the payload,
+    lang identified heuristically. This is the ingest bridge: real WARC
+    files in, the frontier's corpus out — one map-only Arrow pass, no
+    shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from ..functions.text import lang_id_udf
+    from ..kernels.warcrec import serialize_warc_record
+
+    def reserialize(names: pd.Series, hmaps: pd.Series, payloads: pd.Series) -> pd.Series:
+        out = []
+        for ns, hm, pl in zip(names, hmaps, payloads):
+            headers = [(n, hm[n.lower()]) for n in ns]
+            out.append(serialize_warc_record(headers, bytes(pl or b"")))
+        return pd.Series(out)
+
+    reser_udf = F.pandas_udf(reserialize, BinaryType())
+    from pyspark.sql.types import StringType
+
+    extract_udf = F.pandas_udf(extract_text_from_payload_kernel, StringType())
+    resp = records.filter(
+        (F.col("warc_type") == "response") & F.col("target_uri").isNotNull()
+    )
+    text_col = extract_udf(F.col("payload"))
+    return resp.select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("warc_ts"),
+        reser_udf("header_names", "headers", "payload").alias("html"),
+        text_col.alias("text"),
+        lang_id_udf(text_col).alias("lang"),
+    )
