@@ -825,6 +825,40 @@ def warc_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("warc_files_roundtrip_agg")
+def warc_files_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC FILE round trip through the distributed sink and scan:
+    synth pages -> write_warc (member-per-record gzip parts) -> read_warc
+    -> pages_from_records -> per-row identity vs the original corpus
+    (url, byte-identical html, text). Self-verifying: n_verified must
+    equal n_pages. Exercises the sink, the multi-file scan, and the
+    ingest bridge in one driver-checked pass."""
+    import tempfile
+
+    from .sources import read_warc, write_warc
+    from .sources.pages import pages_from_records
+
+    out = tempfile.mkdtemp(prefix="qwarc_files_")
+    pages = synth_pages(spark, 2_000, seed=42)
+    recs = parse_warc_column(pages, "html", keep=[]).select(
+        "header_names", "headers", "payload"
+    )
+    write_warc(recs, out, compress=True).collect()
+    back = pages_from_records(read_warc(spark, f"{out}/*.warc.gz"))
+    joined = pages.alias("a").join(back.alias("b"), "url", "inner")
+    return joined.agg(
+        F.count("*").alias("n_pages"),
+        F.sum(
+            F.when(
+                (F.col("a.html") == F.col("b.html"))
+                & (F.col("a.text") == F.col("b.text"))
+                & (F.col("a.warc_ts") == F.col("b.warc_ts")),
+                1,
+            ).otherwise(0)
+        ).alias("n_verified"),
+    )
+
+
 @register("arc_roundtrip_agg")
 def arc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARC engine path (SURVEY §2.A S10-S12/K5-K6): bucket synthetic pages
