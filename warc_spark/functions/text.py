@@ -23,6 +23,19 @@ def token_count(col: Column) -> Column:
     return F.size(F.split(F.trim(col), r"\s+"))
 
 
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-style pre-tokenizer count (GPT-2-ish word/number/punct splits
+    with leading-space absorption), restricted to constructs both Java
+    regex and RE2 support (no lookahead) so the DuckDB oracle evaluates
+    the IDENTICAL pattern. SQL twin:
+    ``len(regexp_extract_all(text, '<BPE_TOKEN_RE>'))``. A (crude but
+    deterministic) proxy for LLM token counts in data-budget accounting."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def char_len(col: Column) -> Column:
     return F.length(col)
 

@@ -412,6 +412,33 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bpe_token_stats",
+    oracle=r"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS total_bpe_tokens,
+           ROUND(AVG(CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), '\s+'))), 6) AS bpe_per_word
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counts per lang (LLM data-budget
+    accounting): total subword-ish tokens and tokens-per-word ratio. The
+    oracle evaluates the byte-identical regex in DuckDB/RE2."""
+    d = t(spark, sf_dir, "documents")
+    bpe = text.bpe_token_count(F.col("text"))
+    words = text.token_count(F.col("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(bpe).alias("total_bpe_tokens"),
+            F.round(F.avg(bpe.cast("double") / words), 6).alias("bpe_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "doc_quality_features",
     oracle="""
     SELECT doc_id,
