@@ -179,3 +179,33 @@ def test_bucketed_corpus_join_has_single_exchange(spark, tmp_path):
         assert "Bucketed: true" in p or "SelectedBucketsCount" in p, p
     finally:
         spark.sql("DROP TABLE IF EXISTS t_pages_bucketed")
+
+
+def test_distributed_probe_copartitioned_join(spark):
+    """BloomSeenSet.probe(broadcast=False): with broadcast disabled, the
+    candidate-blob join hash-partitions BOTH sides on bucket — the blob
+    state is never collected or broadcast (the 10^10-URL membership
+    plan)."""
+    import re as _re
+
+    from warc_spark.operators.seen import BloomSeenSet
+
+    bloom = BloomSeenSet(n_buckets=8, m_bits=1 << 12)
+    urls = spark.range(0, 200).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 10).cast("string"),
+                 F.lit(".x/p"), F.col("id").cast("string")).alias("url")
+    )
+    blobs = bloom.build_blobs(urls)
+    cands = spark.range(200, 400).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 10).cast("string"),
+                 F.lit(".x/p"), F.col("id").cast("string")).alias("url")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(bloom.probe(cands, blobs, broadcast=False))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "BroadcastExchange" not in p, p
+    assert "BroadcastHashJoin" not in p, p
+    exchanges = [b for b in _node_blocks(p, "Exchange") if "bucket" in b]
+    assert len(exchanges) >= 2, p  # both sides partition on the bucket key
