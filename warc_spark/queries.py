@@ -463,6 +463,39 @@ def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quality_histogram",
+    oracle=r"""
+    WITH f AS (
+      SELECT lang,
+        length(text) AS n,
+        ROUND(CAST(length(regexp_replace(text,'[^.,;:!?]','','g')) AS DOUBLE)
+              / length(text), 4) AS pr,
+        ROUND(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),
+                                   t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+              / len(regexp_split_to_array(trim(lower(text)),'\s+')), 4) AS sr
+      FROM documents)
+    SELECT lang,
+           ROUND(CASE WHEN n BETWEEN 100 AND 20000 THEN 0.4
+                      WHEN n > 0 THEN 0.1 ELSE 0 END
+                 + CASE WHEN pr <= 0.2 THEN 0.3 ELSE 0 END
+                 + CASE WHEN sr >= 0.01 THEN 0.3 ELSE 0 END, 2) AS quality,
+           COUNT(*) AS n_docs
+    FROM f GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def doc_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality-score histogram per lang (the filtering knob of a
+    training-data pipeline): length band + punctuation sanity + stopword
+    presence. The oracle recomputes the full scoring rubric in SQL."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", text.quality_score(F.col("text")).alias("quality"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "quality")
+    )
+
+
+@register(
     "doc_exact_dedup_survivors",
     oracle="""
     SELECT lang, COUNT(*) AS n_survivors FROM (
