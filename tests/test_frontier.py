@@ -427,3 +427,55 @@ class TestCuckooFrontier:
         )
         for m in mc:
             assert "cuckoo_state" in m["tables"]
+
+
+class TestLinkNormalization:
+    """normalize_links=True canonicalizes href soup (case, default port,
+    fragments) before frontier emission — aliases of one resource collapse
+    to a single fetch; without it the aliases each get scheduled."""
+
+    def _pages(self, spark):
+        import datetime as dt
+
+        def page(url, hrefs):
+            body = "<p>t</p>" + "".join(f'<a href="{h}">x</a>' for h in hrefs)
+            html = ("W\r\n\r\nH\r\n\r\n" + body).encode()
+            return (url, dt.datetime(2026, 8, 1), html, "t", "en")
+
+        return spark.createDataFrame(
+            [
+                page("http://h0.example.org/a",
+                     ["HTTP://H0.example.org:80/b#frag",
+                      "http://h0.example.org/b",
+                      "http://h0.example.org./b"]),
+                page("http://h0.example.org/b", []),
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    def _run(self, spark, tmp_path, normalize, sub):
+        store = SnapStore(str(tmp_path / sub))
+        eng = FrontierEngine(
+            spark, self._pages(spark), store,
+            config=FrontierConfig(max_batches=2, default_budget=10,
+                                  normalize_links=normalize),
+        )
+        seeds = spark.createDataFrame(
+            [("http://h0.example.org/a", 1.0)], "url string, priority double"
+        )
+        eng.run(seeds)
+        return store.read_df(spark, 1, "scheduled").collect()
+
+    def test_aliases_collapse(self, spark, tmp_path):
+        rows = self._run(spark, tmp_path, True, "norm")
+        assert len(rows) == 1
+        assert rows[0].url == "http://h0.example.org/b"
+        assert rows[0].status == "found"
+
+    def test_without_normalization_aliases_fan_out(self, spark, tmp_path):
+        rows = self._run(spark, tmp_path, False, "raw")
+        urls = sorted(r.url for r in rows)
+        assert len(urls) == 3  # canonical + 2 aliases all scheduled
+        statuses = {r.url: r.status for r in rows}
+        assert statuses["http://h0.example.org/b"] == "found"
+        assert statuses["HTTP://H0.example.org:80/b#frag"] == "missing"

@@ -1,6 +1,8 @@
 """URL normalization kernel + vectorized pandas variants.
 
-Used by the frontier (URL-seen keys, host partitioning). Deterministic and
+Wired into the frontier's link-emission path via
+``FrontierConfig.normalize_links`` (href aliases collapse to one fetch;
+tests/test_frontier.py::TestLinkNormalization). Deterministic and
 vectorizable: the pandas variants operate on whole Series with pandas string
 ops (no per-row Python in the Spark hot path, per BASELINE.json input_hint).
 """

@@ -88,6 +88,12 @@ class FrontierConfig:
     # correct even under bloom (the stale bit costs a rescue lookup, never
     # a wrong drop).
     seen_backend: str = "bloom"
+    # canonicalize extracted links (kernels/urlnorm: lower-case scheme+host,
+    # strip default port + fragment, ensure path) before frontier emission —
+    # real-web href soup aliases the same resource many ways; off by default
+    # because the synthetic corpora emit canonical links already (and the
+    # crawl-ordering oracle would otherwise hide the no-op)
+    normalize_links: bool = False
     min_priority: float = 1e-6
     # emit-side dedup: if the maybe-seen sliver has at most this many rows,
     # resolve it via the broadcast semi-join flip (seen set scan-only);
@@ -520,6 +526,13 @@ class FrontierEngine:
             .filter(F.col("priority") >= cfg.min_priority)
             .drop("_pp")
         )
+        if cfg.normalize_links:
+            from ..kernels.urlnorm import normalize_url_series
+
+            norm_udf = F.pandas_udf(normalize_url_series, "string")
+            new_links = new_links.withColumn("url", norm_udf("url")).filter(
+                F.col("url").isNotNull()
+            )
         new_links = self._with_host(new_links).select("url", "host", "priority")
         merged_cands = (
             deferred.unionByName(new_links)
