@@ -53,7 +53,8 @@ def run_frontier(spark, n_pages: int = 1_500_000, batches: int = 3) -> tuple[flo
         eng = FrontierEngine(
             spark, pages, SnapStore(tmp),
             config=FrontierConfig(max_batches=batches, default_budget=65536,
-                                  bloom_buckets=64, bloom_bits=1 << 21),
+                                  bloom_buckets=64, bloom_bits=1 << 21,
+                                  rescue_mode="broadcast"),
         )
         eng.pages.count()  # materialize the corpus cache, untimed
         t0 = time.time()

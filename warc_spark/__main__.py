@@ -37,7 +37,11 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--out", required=True, help="snapshot store directory")
     c.add_argument("--batches", type=int, default=10)
     c.add_argument("--budget", type=int, default=64, help="per-host politeness budget")
-    c.add_argument("--robots", help="parquet dir with (host, disallow_prefixes, crawl_delay)")
+    c.add_argument(
+        "--robots",
+        help="parquet dir of robots rules (ROBOTS_SCHEMA or the full "
+             "Allow/wildcard ROBOTS_SCHEMA_V2 from robots_rules_from_bodies)",
+    )
     c.add_argument(
         "--batch-seconds", type=float, default=None,
         help="derive per-host politeness budgets from robots Crawl-delay "
@@ -52,6 +56,10 @@ def _build_parser() -> argparse.ArgumentParser:
         help="keep the bloom state a distributed table (co-partitioned "
              "probe join; the 10^10-URL configuration — the driver never "
              "holds blob bytes)",
+    )
+    c.add_argument(
+        "--normalize-links", action="store_true",
+        help="canonicalize extracted hrefs before frontier emission",
     )
     c.add_argument(
         "--seen-backend", choices=("bloom", "cuckoo"), default="bloom",
@@ -100,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
             distributed_probe=args.distributed_probe,
             rescue_mode=args.rescue_mode,
             seen_backend=args.seen_backend,
+            normalize_links=args.normalize_links,
         ),
     )
     manifests = eng.run(seeds, resume=args.resume)
