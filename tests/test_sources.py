@@ -320,3 +320,29 @@ def test_pages_from_records_feeds_frontier(spark, tmp_path):
         x = [(r.url, r.priority) for r in s1.read_df(spark, k, "scheduled").orderBy("url").collect()]
         y = [(r.url, r.priority) for r in s2.read_df(spark, k, "scheduled").orderBy("url").collect()]
         assert x == y
+
+
+def test_seeds_from_sitemaps(spark):
+    from warc_spark.sources.pages import seeds_from_sitemaps
+
+    urlset = """<?xml version="1.0"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>http://h0.example.org/a</loc><priority>0.9</priority></url>
+      <url><loc> http://h0.example.org/b?x=1&amp;y=2 </loc></url>
+      <url><loc>http://h0.example.org/a</loc><priority>0.3</priority></url>
+    </urlset>"""
+    index = """<sitemapindex>
+      <sitemap><loc>http://h0.example.org/sitemap2.xml</loc></sitemap>
+    </sitemapindex>"""
+    seeds = seeds_from_sitemaps(
+        spark.createDataFrame([(urlset,), (index,), (None,)], "body string"),
+        default_priority=0.5,
+    )
+    got = {r.url: r.priority for r in seeds.collect()}
+    assert got == {
+        "http://h0.example.org/a": 0.9,            # duplicate max-merged
+        "http://h0.example.org/b?x=1&y=2": 0.5,    # entity unescaped, default pri
+        "http://h0.example.org/sitemap2.xml": None, # index row to expand
+    }
+    # feeds the frontier seed path directly (url + priority columns)
+    assert set(seeds.columns) == {"url", "priority"}

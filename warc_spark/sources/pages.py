@@ -317,3 +317,59 @@ def pages_from_records(records: DataFrame) -> DataFrame:
         text_col.alias("text"),
         lang_id_udf(text_col).alias("lang"),
     )
+
+
+SITEMAP_SCHEMA = "url string, priority double"
+
+
+def seeds_from_sitemaps(bodies: DataFrame, default_priority: float = 0.5) -> DataFrame:
+    """Sitemap XML bodies -> a (url, priority) seeds table (the standard
+    seed source of a production crawl). Handles urlset entries
+    (``<url><loc>..</loc><priority>..</priority></url>``; missing priority
+    -> ``default_priority``) and sitemap-index files (``<sitemap><loc>``
+    rows are emitted with priority NULL so the caller can fetch and expand
+    them — a driver loop over index levels, each level one distributed
+    pass). Regex-based extraction (no XML lib needed for the sitemap
+    subset), vectorized per Arrow batch; duplicate urls max-merge like
+    synth_seeds."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    loc_re = _re.compile(r"<loc>\s*(.*?)\s*</loc>", _re.S)
+    url_block_re = _re.compile(r"<(url|sitemap)\b.*?</\1>", _re.S)
+    pri_re = _re.compile(r"<priority>\s*([0-9.]+)\s*</priority>")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, pris = [], []
+            for body in pdf["body"]:
+                if body is None:
+                    continue
+                for m in url_block_re.finditer(body):
+                    block = m.group(0)
+                    loc = loc_re.search(block)
+                    if not loc:
+                        continue
+                    # un-escape the XML entities sitemaps commonly carry
+                    u = (
+                        loc.group(1)
+                        .replace("&amp;", "&")
+                        .replace("&lt;", "<")
+                        .replace("&gt;", ">")
+                        .replace("&quot;", '"')
+                        .replace("&apos;", "'")
+                    )
+                    if m.group(1) == "sitemap":
+                        urls.append(u)
+                        pris.append(None)  # index row: fetch + expand
+                        continue
+                    p = pri_re.search(block)
+                    urls.append(u)
+                    pris.append(float(p.group(1)) if p else default_priority)
+            yield pd.DataFrame({"url": urls, "priority": pris})
+
+    df = bodies.select("body").mapInPandas(kernel, SITEMAP_SCHEMA)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return df.groupBy("url").agg(F.max("priority").alias("priority"))
