@@ -277,3 +277,33 @@ def test_budgets_from_crawl_delay(spark):
         r.host: r["count"] for r in kept.groupBy("host").count().collect()
     }
     assert per_host == {"slow.example.org": 2, "nodelay.example.org": 3}
+
+
+def test_robots_sitemap_discovery(spark):
+    """robots -> sitemaps -> seeds: the standard discovery chain."""
+    from warc_spark.operators.robots import robots_rules_from_bodies, sitemap_urls
+    from warc_spark.sources.pages import seeds_from_sitemaps
+
+    body = (
+        "Sitemap: http://h.example.org/sitemap.xml\n"
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: http://h.example.org/sitemap2.xml  # trailing comment\n"
+    )
+    assert sitemap_urls(body) == [
+        "http://h.example.org/sitemap.xml",
+        "http://h.example.org/sitemap2.xml",
+    ]
+    rules = robots_rules_from_bodies(
+        spark.createDataFrame([("h.example.org", body)], "host string, body string")
+    )
+    row = rules.collect()[0]
+    assert list(row.sitemaps) == [
+        "http://h.example.org/sitemap.xml",
+        "http://h.example.org/sitemap2.xml",
+    ]
+    # fetched sitemap bodies (simulated) flow straight into the seed table
+    sm_body = "<urlset><url><loc>http://h.example.org/p1</loc></url></urlset>"
+    seeds = seeds_from_sitemaps(
+        spark.createDataFrame([(sm_body,)], "body string")
+    )
+    assert [r.url for r in seeds.collect()] == ["http://h.example.org/p1"]

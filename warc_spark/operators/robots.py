@@ -55,6 +55,7 @@ _RULE_ARR_SQL = "array<struct<len:int,rx:string>>"
 ROBOTS_SCHEMA_V2 = StructType(
     [
         StructField("host", StringType(), False),
+        StructField("sitemaps", ArrayType(StringType()), True),
         StructField("disallow_prefixes", ArrayType(StringType()), True),
         StructField("allow_rules", ArrayType(_RULE_STRUCT), True),
         StructField("disallow_rules", ArrayType(_RULE_STRUCT), True),
@@ -183,6 +184,21 @@ class RobotsRules(NamedTuple):
     crawl_delay: float | None
 
 
+def sitemap_urls(body: str) -> list[str]:
+    """``Sitemap:`` directives from a robots.txt body (agent-independent
+    per the sitemaps protocol — they live outside User-agent groups).
+    Feed the result to ``sources.pages.seeds_from_sitemaps`` after
+    fetching: robots -> sitemaps -> seeds is the standard discovery
+    chain."""
+    out = []
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out
+
+
 def parse_robots_txt(body: str, agent: str = "*") -> RobotsRules:
     """Parse one robots.txt body into the (allow, disallow, crawl_delay)
     rules for ``agent`` (falling back to the ``*`` group). RFC 9309 subset:
@@ -244,9 +260,11 @@ def robots_rules_from_bodies(
     import pandas as pd
 
     def kernel(body):
-        parsed = [parse_robots_txt(b if b is not None else "", agent) for b in body]
+        bodies_ = [b if b is not None else "" for b in body]
+        parsed = [parse_robots_txt(b, agent) for b in bodies_]
         return pd.DataFrame(
             {
+                "sitemaps": [sitemap_urls(b) for b in bodies_],
                 "disallow_prefixes": [p.disallow for p in parsed],
                 "allow_rules": [
                     [(len(pt), pattern_to_regex(pt)) for pt in p.allow]
@@ -262,6 +280,7 @@ def robots_rules_from_bodies(
 
     udf = F.pandas_udf(
         kernel,
+        "sitemaps array<string>, "
         "disallow_prefixes array<string>, "
         "allow_rules array<struct<len:int,rx:string>>, "
         "disallow_rules array<struct<len:int,rx:string>>, "
@@ -271,6 +290,7 @@ def robots_rules_from_bodies(
         F.col(host_col).alias("host"), udf(F.col(body_col)).alias("_r")
     ).select(
         "host",
+        F.col("_r.sitemaps").alias("sitemaps"),
         F.col("_r.disallow_prefixes").alias("disallow_prefixes"),
         F.col("_r.allow_rules").alias("allow_rules"),
         F.col("_r.disallow_rules").alias("disallow_rules"),
