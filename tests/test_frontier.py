@@ -428,6 +428,26 @@ class TestCuckooFrontier:
         for m in mc:
             assert "cuckoo_state" in m["tables"]
 
+    def test_cuckoo_distributed_probe_equals_exact(
+        self, spark, pages_df, seeds_df, tmp_path
+    ):
+        """distributed_probe=True under the cuckoo backend: the fingerprint
+        state is probed via the co-partitioned join (never broadcast) and
+        the crawl is still batch-for-batch identical to the exact path."""
+        cfg_d = FrontierConfig(max_batches=3, default_budget=4,
+                               seen_backend="cuckoo", distributed_probe=True,
+                               bloom_buckets=8)
+        cfg_e = FrontierConfig(max_batches=3, default_budget=4, use_bloom=False)
+        store_d, md = run_engine(spark, pages_df, seeds_df, tmp_path / "ckd", cfg_d)
+        store_e, me = run_engine(spark, pages_df, seeds_df, tmp_path / "exd", cfg_e)
+        assert len(md) == len(me)
+        assert collect_batches(store_d, spark, len(md)) == collect_batches(
+            store_e, spark, len(me)
+        )
+        seen_d = {r.url for r in store_d.read_all_scheduled(spark, len(md) - 1).collect()}
+        seen_e = {r.url for r in store_e.read_all_scheduled(spark, len(me) - 1).collect()}
+        assert seen_d == seen_e
+
 
 class TestLinkNormalization:
     """normalize_links=True canonicalizes href soup (case, default port,

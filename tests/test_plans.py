@@ -209,3 +209,31 @@ def test_distributed_probe_copartitioned_join(spark):
     assert "BroadcastHashJoin" not in p, p
     exchanges = [b for b in _node_blocks(p, "Exchange") if "bucket" in b]
     assert len(exchanges) >= 2, p  # both sides partition on the bucket key
+
+
+def test_cuckoo_distributed_probe_copartitioned_join(spark):
+    """CuckooSeenSet.probe(broadcast=False): same placement contract as
+    bloom — the fingerprint state is hash-partitioned on bucket alongside
+    the candidates, never broadcast (the recrawl backend's tables are
+    BIGGER than bloom bitmaps, so this path matters even more)."""
+    from warc_spark.operators.seen import CuckooSeenSet
+
+    ck = CuckooSeenSet(n_buckets=8, table_buckets=1 << 8)
+    urls = spark.range(0, 200).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 10).cast("string"),
+                 F.lit(".x/p"), F.col("id").cast("string")).alias("url")
+    )
+    blobs = ck.build_blobs(urls)
+    cands = spark.range(200, 400).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 10).cast("string"),
+                 F.lit(".x/p"), F.col("id").cast("string")).alias("url")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(ck.probe(cands, blobs, broadcast=False))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "BroadcastExchange" not in p, p
+    assert "BroadcastHashJoin" not in p, p
+    exchanges = [b for b in _node_blocks(p, "Exchange") if "bucket" in b]
+    assert len(exchanges) >= 2, p

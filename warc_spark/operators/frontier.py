@@ -75,11 +75,13 @@ class FrontierConfig:
     # membership-state placement: False = driver-collected broadcast map
     # (fast while total blob bytes are broadcast-sized); True = the blob
     # state stays a DISTRIBUTED table, probed via a co-partitioned join
-    # (BloomSeenSet.probe, broadcast=False) and checkpointed compacted as
-    # ``bloom_state`` — at 10^10 URLs (~16 GB of blobs at documented
-    # sizing) the state cannot live on the driver, so this is the at-scale
-    # configuration; crawl ordering and seen set are identical either way
-    # (tests/test_frontier.py::TestDistributedProbe).
+    # (BloomSeenSet.probe / CuckooSeenSet.probe, broadcast=False) and
+    # checkpointed compacted as ``bloom_state``/``cuckoo_state`` — at
+    # 10^10 URLs (~16 GB of bloom blobs, more for cuckoo fingerprints)
+    # the state cannot live on the driver or broadcast to every task, so
+    # this is the at-scale configuration for BOTH backends; crawl ordering
+    # and seen set are identical either way
+    # (tests/test_frontier.py::TestDistributedProbe, TestCuckooFrontier).
     distributed_probe: bool = False
     # membership filter: "bloom" (append-only, broadcast-map or distributed
     # probe) or "cuckoo" (deletion-capable — the E5 recrawl path: state is
@@ -554,7 +556,11 @@ class FrontierEngine:
             # the candidates; distributed path = co-partitioned join on
             # bucket (the state never collects to one node).
             if cfg.seen_backend == "cuckoo":
-                probed = self.cuckoo.probe(merged_cands, self._blobs_state).persist()
+                probed = self.cuckoo.probe(
+                    merged_cands,
+                    self._blobs_state,
+                    broadcast=not cfg.distributed_probe,
+                ).persist()
             elif cfg.distributed_probe:
                 probed = self.bloom.probe(
                     merged_cands, self._blobs_state, broadcast=False

@@ -437,7 +437,19 @@ class CuckooSeenSet:
         joined = blobs.join(with_bucket, on="bucket", how="left")
         return joined.groupBy("bucket").applyInPandas(delete, CUCKOO_SCHEMA)
 
-    def probe(self, candidates: DataFrame, blobs: DataFrame, url_col: str = "url") -> DataFrame:
+    def probe(
+        self,
+        candidates: DataFrame,
+        blobs: DataFrame,
+        url_col: str = "url",
+        broadcast: bool = True,
+    ) -> DataFrame:
+        """Adds ``maybe_seen``. Mirrors ``BloomSeenSet.probe``'s placement
+        contract: ``broadcast=True`` ships the fingerprint tables to every
+        task (fine while small); ``broadcast=False`` co-partitions BOTH
+        sides on bucket so the state — which for the recrawl backend is
+        *bigger* than bloom bitmaps (4x uint16 slots per table bucket) —
+        never collects to one node (the 10^10-URL configuration)."""
         tb = self.table_buckets
 
         def test(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -464,8 +476,9 @@ class CuckooSeenSet:
         out_schema = StructType(
             list(with_bucket.schema.fields) + [StructField("maybe_seen", BooleanType())]
         )
+        blob_side = F.broadcast(blobs) if broadcast else blobs
         return (
-            with_bucket.join(F.broadcast(blobs), on="bucket", how="left")
+            with_bucket.join(blob_side, on="bucket", how="left")
             .groupBy("bucket")
             .applyInPandas(test, out_schema)
             .drop("bucket")
