@@ -201,17 +201,18 @@ def plan_warc_splits(index: DataFrame, split_bytes: int = 64 << 20) -> DataFrame
     )
 
 
-def _local_path(p: str) -> str:
-    if p.startswith("file:"):
-        from urllib.parse import unquote, urlparse
+def _open_ranged(p: str):
+    """Open ``p`` for positioned (seek+read) access through ``pyarrow.fs``
+    — ONE code path for ``file:``, ``s3:``, ``hdfs:``, ``gs:`` etc.
+    (``FileSystem.from_uri`` resolves the scheme; bare and Hadoop-style
+    single-slash ``file:/...`` paths both map to the local filesystem).
+    Every ranged read in this module goes through here, so the pre-split
+    scan and cc-index random access work off object storage exactly as
+    they do off local disk."""
+    from pyarrow import fs as pafs
 
-        return unquote(urlparse(p).path)
-    if "://" in p:
-        raise NotImplementedError(
-            "ranged member reads are implemented for local/file: paths; on a "
-            "cluster use the filesystem's positioned-read API for scheme %r" % p
-        )
-    return p
+    filesystem, rel = pafs.FileSystem.from_uri(p)
+    return filesystem.open_input_file(rel)
 
 
 def read_warc_presplit(
@@ -241,7 +242,7 @@ def read_warc_presplit(
             for p, start, end, first in zip(
                 pdf["path"], pdf["start"], pdf["end"], pdf["first_member"]
             ):
-                with open(_local_path(p), "rb") as fh:
+                with _open_ranged(p) as fh:
                     fh.seek(int(start))
                     data = fh.read(int(end) - int(start))
                 name = os.path.basename(p)
@@ -317,7 +318,7 @@ def read_warc_records(
                     p = row.path
                     fh = handles.get(p)
                     if fh is None:
-                        fh = handles[p] = open(_local_path(p), "rb")
+                        fh = handles[p] = _open_ranged(p)
                     fh.seek(int(row.offset))
                     data = fh.read(int(row.length))
                     if data[:2] == GZIP_MAGIC:
