@@ -193,28 +193,53 @@ def serialize_arc_file(
     return "".join(out)
 
 
-def parse_arc_file(data: str, version: int | None = None):
-    """Parse a whole ARC file; yields the version first (int), then
-    ``ARCRecord`` objects. Mirrors ARCFile._read_file_header +
-    _read_arc_record (arc.py:307-372), including version auto-detection and
-    blank-line skipping."""
+def _readline_at(data: str, pos: int) -> tuple[str, int]:
+    eol = data.find("\n", pos)
+    if eol < 0:
+        return data[pos:], len(data)
+    return data[pos : eol + 1], eol + 1
+
+
+def parse_arc_records_indexed(data: str, version: int, base_offset: int = 0):
+    """Parse ARC records (NO file header expected) yielding
+    ``(offset, length, ARCRecord)``: ``offset`` = byte position of the
+    record's header line (+``base_offset``), ``length`` = header line +
+    newline + payload — the span a ranged read needs to recover the record
+    (the reference's v2 ``offset`` header-field semantics, arc.py:126-127,
+    as REAL file geometry instead of a stringly field)."""
+    ver = int(version)
     pos = 0
-
-    def readline() -> str:
-        nonlocal pos
-        eol = data.find("\n", pos)
-        if eol < 0:
-            line, pos2 = data[pos:], len(data)
-        else:
-            line, pos2 = data[pos : eol + 1], eol + 1
+    while pos < len(data):
+        line, pos2 = _readline_at(data, pos)
+        while line and line.strip() == "":
+            pos = pos2
+            line, pos2 = _readline_at(data, pos)
+        if line == "":
+            return
+        start = pos
         pos = pos2
-        return line
+        fields = parse_arc_header_line(line.rstrip("\n"), ver)
+        length = int(fields["length"]) if fields["length"] else 0
+        payload = data[pos : pos + length]
+        pos += length
+        yield start + base_offset, pos - start, ARCRecord(
+            fields=fields, payload=payload, version=ver
+        )
+        _, pos = _readline_at(data, pos)  # munge the separator newline
 
-    header_line = readline()
-    payload1 = readline()
-    readline()  # field-names line
+
+def parse_arc_file_indexed(data: str, version: int | None = None):
+    """Parse a whole ARC file; yields the version first (int), then
+    ``(offset, length, ARCRecord)`` per record (see
+    ``parse_arc_records_indexed``). Mirrors ARCFile._read_file_header +
+    _read_arc_record (arc.py:307-372), including version auto-detection
+    and blank-line skipping."""
+    pos = 0
+    header_line, pos = _readline_at(data, pos)
+    payload1, pos = _readline_at(data, pos)
+    _, pos = _readline_at(data, pos)  # field-names line
     ver_tok = payload1.split(None, 2)[0]
-    readline()  # separator newline
+    _, pos = _readline_at(data, pos)  # separator newline
     if version is not None and int(version) != int(ver_tok):
         raise IOError(
             "Version mismatch. Requested version was '%s' but version in "
@@ -229,16 +254,13 @@ def parse_arc_file(data: str, version: int | None = None):
     # file header line itself parses with the detected version's schema
     parse_arc_header_line(header_line.rstrip("\n"), ver)
     yield ver
+    yield from parse_arc_records_indexed(data[pos:], ver, base_offset=pos)
 
-    while pos < len(data):
-        line = readline()
-        while line and line.strip() == "":
-            line = readline()
-        if line == "":
-            return
-        fields = parse_arc_header_line(line.rstrip("\n"), ver)
-        length = int(fields["length"]) if fields["length"] else 0
-        payload = data[pos : pos + length]
-        pos += length
-        readline()  # munge the separator newline
-        yield ARCRecord(fields=fields, payload=payload, version=ver)
+
+def parse_arc_file(data: str, version: int | None = None):
+    """Parse a whole ARC file; yields the version first (int), then
+    ``ARCRecord`` objects (thin wrapper over ``parse_arc_file_indexed``)."""
+    it = parse_arc_file_indexed(data, version)
+    yield next(it)
+    for _, _, rec in it:
+        yield rec

@@ -9,6 +9,13 @@ from .warc_source import (  # noqa: F401
     read_warc_records,
     write_warc,
 )
-from .arc_source import ARC_RECORD_SCHEMA, read_arc, write_arc  # noqa: F401
+from .arc_source import (  # noqa: F401
+    ARC_INDEX_SCHEMA,
+    ARC_RECORD_SCHEMA,
+    index_arc_records,
+    read_arc,
+    read_arc_records,
+    write_arc,
+)
 from .dispatch import open_archive  # noqa: F401
 from .pages import synth_pages, extract_text_kernel, extract_links_kernel  # noqa: F401
