@@ -1,0 +1,122 @@
+"""Golden tests for the real-HTML extraction kernel (kernels/htmlext):
+tag stripping, script/style/comment removal, entity decoding, whitespace
+normalization, <base>-aware relative-href resolution."""
+
+from warc_spark.kernels.htmlext import extract_links, html_to_text
+
+
+class TestHtmlToText:
+    def test_nested_tags_and_structure(self):
+        html = (
+            "<html><head><title>My Page</title></head><body>"
+            "<div><p>Hello <b>bold</b> and <i>italic <u>deep</u></i> world.</p>"
+            "<ul><li>one</li><li>two</li></ul></div></body></html>"
+        )
+        assert html_to_text(html) == (
+            "My Page\nHello bold and italic deep world.\none\ntwo"
+        )
+
+    def test_script_style_comment_removed(self):
+        html = (
+            "<body><!-- nav starts -->"
+            "<script>var s = '<p>fake para</p>';</script>"
+            "<style>p { color: red }</style>"
+            "<noscript>enable js</noscript>"
+            "<p>real text</p></body>"
+        )
+        assert html_to_text(html) == "real text"
+
+    def test_entities_decoded_after_stripping(self):
+        html = "<p>Tom &amp; Jerry &lt;3 &#169; caf&eacute; &#x2014; end</p>"
+        assert html_to_text(html) == "Tom & Jerry <3 © café — end"
+
+    def test_whitespace_normalization(self):
+        html = "<div>  a   lot\t of\n  space  </div><div>next   block</div>"
+        assert html_to_text(html) == "a lot of\nspace\nnext block"
+
+    def test_br_and_blank_lines_collapse(self):
+        assert html_to_text("x<br><br><br>y") == "x\ny"
+
+    def test_none_and_empty(self):
+        assert html_to_text(None) is None
+        assert html_to_text("") == ""
+        assert html_to_text("<script>x</script>") == ""
+
+
+class TestExtractLinks:
+    BASE = "http://host.example.com/a/b/page.html"
+
+    def test_relative_resolution(self):
+        html = (
+            '<a href="c.html">1</a>'
+            '<a href="../up.html">2</a>'
+            '<a href="/rooted">3</a>'
+            '<a href="//other.example.org/x">4</a>'
+            '<a href="https://abs.example.net/y">5</a>'
+        )
+        assert extract_links(html, self.BASE) == [
+            "http://host.example.com/a/b/c.html",
+            "http://host.example.com/a/up.html",
+            "http://host.example.com/rooted",
+            "http://other.example.org/x",
+            "https://abs.example.net/y",
+        ]
+
+    def test_base_tag_rebases(self):
+        html = (
+            '<head><base href="http://cdn.example.com/root/"></head>'
+            '<body><a href="rel.html">x</a></body>'
+        )
+        assert extract_links(html, self.BASE) == [
+            "http://cdn.example.com/root/rel.html"
+        ]
+
+    def test_relative_base_resolves_against_page(self):
+        html = '<base href="sub/"><a href="f.html">x</a>'
+        assert extract_links(html, self.BASE) == [
+            "http://host.example.com/a/b/sub/f.html"
+        ]
+
+    def test_quote_styles_and_entities(self):
+        html = (
+            "<a href='single.html'>s</a>"
+            "<a href=unquoted.html>u</a>"
+            '<a href="q.html?a=1&amp;b=2">e</a>'
+        )
+        assert extract_links(html, self.BASE) == [
+            "http://host.example.com/a/b/single.html",
+            "http://host.example.com/a/b/unquoted.html",
+            "http://host.example.com/a/b/q.html?a=1&b=2",
+        ]
+
+    def test_skips_fragments_and_schemes(self):
+        html = (
+            '<a href="#top">f</a>'
+            '<a href="javascript:void(0)">j</a>'
+            '<a href="mailto:x@example.com">m</a>'
+            '<a href="tel:+1555">t</a>'
+            '<a href="data:text/plain,hi">d</a>'
+            '<a href="real.html#sec2">r</a>'
+        )
+        assert extract_links(html, self.BASE) == [
+            "http://host.example.com/a/b/real.html"
+        ]
+
+    def test_links_in_comments_and_scripts_ignored(self):
+        html = (
+            '<!-- <a href="dead.html">x</a> -->'
+            '<script>document.write(\'<a href="gen.html">g</a>\');</script>'
+            '<a href="live.html">l</a>'
+        )
+        assert extract_links(html, self.BASE) == [
+            "http://host.example.com/a/b/live.html"
+        ]
+
+    def test_area_and_multiline_tags(self):
+        html = '<area\n  shape="rect"\n  href="map.html">'
+        assert extract_links(html, self.BASE) == [
+            "http://host.example.com/a/b/map.html"
+        ]
+
+    def test_none_html(self):
+        assert extract_links(None, self.BASE) == []

@@ -286,6 +286,115 @@ def test_random_access_by_offset_index(spark, warc_file):
         assert r.tag == "m%d" % e.record_index  # passthrough column
 
 
+def test_arc_random_access_by_offset_index(spark, tmp_path):
+    """ARC mirror of the cc-index pattern (VERDICT r2 #8): per-record byte
+    offsets on plain files, per-member compressed offsets on gzipped ones
+    — ranged reads recover exactly the records the scan sees."""
+    import datetime as dt
+
+    from pyspark.sql import functions as SF
+
+    from warc_spark.kernels.arcrec import (
+        make_filedesc_record,
+        serialize_arc_record,
+    )
+    from warc_spark.kernels.gzipmember import compress_gzip_member
+    from warc_spark.sources import (
+        index_arc_records,
+        read_arc,
+        read_arc_records,
+        write_arc,
+    )
+
+    date = dt.datetime(2026, 8, 1)
+    rows = [
+        {
+            "url": "http://example.com/%d" % i,
+            "ip_address": "127.0.0.1",
+            "arc_date": date,
+            "content_type": "text/html",
+            "result_code": "200",
+            "checksum": "-",
+            "location": "-",
+            "offset": "0",
+            "arc_filename": "part.arc",
+            "length": 9,
+            "payload": b"payload %d" % i,
+        }
+        for i in range(10)
+    ]
+    expect = {(r["url"], r["payload"]) for r in rows}
+
+    # ---- plain file: per-record byte offsets --------------------------
+    out = str(tmp_path / "arcs")
+    write_arc(
+        spark.createDataFrame(rows).coalesce(1).orderBy("url"),
+        out, version=2, date=date,
+    ).collect()
+    idx = index_arc_records(spark, os.path.join(out, "*.arc"))
+    assert idx.count() == 10
+    wanted = idx.filter(SF.col("record_index").isin(2, 5, 9)).drop("record_index")
+    got = read_arc_records(spark, wanted).collect()
+    assert len(got) == 3
+    ref = {
+        r.url: r
+        for r in read_arc(spark, os.path.join(out, "*.arc")).collect()
+        if r.record_index in (2, 5, 9)
+    }
+    assert {r.url for r in got} == set(ref)
+    for r in got:
+        e = ref[r.url]
+        assert (bytes(r.payload), r.arc_version, r.content_type) == (
+            bytes(e.payload), e.arc_version, e.content_type
+        )
+
+    # ---- member-per-record gzip (the IA convention) -------------------
+    gz_path = str(tmp_path / "members.arc.gz")
+    fd_fields, fd_payload = make_filedesc_record("members.arc.gz", 2, date=date)
+    with open(gz_path, "wb") as f:
+        f.write(
+            compress_gzip_member(
+                (serialize_arc_record(fd_fields, fd_payload, 2) + "\n").encode("latin-1")
+            )
+        )
+        for r in rows:
+            fields = {
+                "url": r["url"], "ip_address": r["ip_address"],
+                "date": "20260801000000", "content_type": r["content_type"],
+                "length": str(len(r["payload"])), "result_code": "200",
+                "checksum": "-", "location": "-", "offset": "0",
+                "filename": r["arc_filename"],
+            }
+            f.write(
+                compress_gzip_member(
+                    (serialize_arc_record(fields, r["payload"].decode("latin-1"), 2)
+                     + "\n").encode("latin-1")
+                )
+            )
+    midx = index_arc_records(spark, gz_path)
+    assert midx.count() == 10  # distinct member offsets, one record each
+    assert midx.select("offset").distinct().count() == 10
+    one = midx.filter(SF.col("record_index") == 4)
+    got1 = read_arc_records(spark, one).collect()
+    assert len(got1) == 1
+    assert (got1[0].url, bytes(got1[0].payload)) == (
+        rows[4]["url"], rows[4]["payload"]
+    )
+
+    # ---- whole-file gzip (write_arc compress=True): one member --------
+    out_gz = str(tmp_path / "arcs_gz")
+    write_arc(
+        spark.createDataFrame(rows).coalesce(1),
+        out_gz, version=2, date=date, compress=True,
+    ).collect()
+    gidx = index_arc_records(spark, os.path.join(out_gz, "*.arc.gz"))
+    assert gidx.count() == 10
+    whole = gidx.dropDuplicates(["path", "offset"])  # one member = all records
+    assert whole.count() == 1
+    gall = read_arc_records(spark, whole.drop("record_index")).collect()
+    assert {(r.url, bytes(r.payload)) for r in gall} == expect
+
+
 def test_pages_from_records_feeds_frontier(spark, tmp_path):
     """The ingest bridge end to end: synthetic pages -> WARC files on disk
     -> scanned back -> pages table -> a frontier crawl whose scheduling is
@@ -320,6 +429,104 @@ def test_pages_from_records_feeds_frontier(spark, tmp_path):
         x = [(r.url, r.priority) for r in s1.read_df(spark, k, "scheduled").orderBy("url").collect()]
         y = [(r.url, r.priority) for r in s2.read_df(spark, k, "scheduled").orderBy("url").collect()]
         assert x == y
+
+
+def test_real_html_warc_roundtrip_feeds_frontier(spark, tmp_path):
+    """VERDICT r2 #1 done-criterion: a fixture WARC with real-world-shaped
+    HTML (nested tags, script/style payloads, comments, entities, relative
+    hrefs, <base>) round-trips through pages_from_records(extractor='html')
+    -> FrontierEngine(extractor='html') with correct tag-stripped text and
+    RESOLVED links."""
+    from warc_spark.kernels.gzipmember import compress_gzip_member
+    from warc_spark.kernels.warcrec import serialize_warc_record
+    from warc_spark.operators.frontier import FrontierConfig, FrontierEngine
+    from warc_spark.plans.snapstore import SnapStore
+    from warc_spark.sources.pages import pages_from_records
+
+    site = "http://site.example.com"
+    pages = {
+        f"{site}/a/index.html": (
+            '<html><head><title>Index</title><style>a {color: blue}</style>'
+            '<script>var h = "<a href=\'dead.html\'>x</a>";</script></head>'
+            "<body><!-- menu -->"
+            "<div><p>Welcome &amp; enjoy &#8212; caf&eacute;!</p></div>"
+            '<a href="b.html">b</a><a href="../c.html">c</a>'
+            '<a href="/d.html">d</a><a href="e.html?x=1&amp;y=2">e</a>'
+            '<a href="#top">t</a><a href="javascript:void(0)">j</a>'
+            '<a href="http://other.example.org/abs.html">o</a></body></html>'
+        ),
+        f"{site}/a/b.html": (
+            f'<html><head><base href="{site}/z/"></head>'
+            '<body><p>Beta page</p><a href="f.html">f</a></body></html>'
+        ),
+        f"{site}/c.html": "<html><body><p>Gamma</p></body></html>",
+        f"{site}/z/f.html": "<html><body><p>Final leaf</p></body></html>",
+    }
+    expect_text = {
+        f"{site}/a/index.html": "Index\nWelcome & enjoy — café!\nbcdetjo",
+        f"{site}/a/b.html": "Beta page\nf",
+        f"{site}/c.html": "Gamma",
+        f"{site}/z/f.html": "Final leaf",
+    }
+    index_links = {
+        f"{site}/a/b.html",
+        f"{site}/c.html",
+        f"{site}/d.html",
+        f"{site}/a/e.html?x=1&y=2",
+        "http://other.example.org/abs.html",
+    }
+    wpath = str(tmp_path / "real.warc.gz")
+    with open(wpath, "wb") as f:
+        for i, (url, body) in enumerate(pages.items()):
+            http = (
+                "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                "Content-Length: %d\r\n\r\n%s" % (len(body), body)
+            )
+            headers = [
+                ("WARC-Type", "response"),
+                ("WARC-Record-ID", "<urn:uuid:00000000-0000-0000-0000-%012d>" % i),
+                ("WARC-Date", "2026-08-01T00:00:00Z"),
+                ("WARC-Target-URI", url),
+                ("Content-Type", "application/http; msgtype=response"),
+                ("Content-Length", str(len(http))),
+            ]
+            f.write(
+                compress_gzip_member(
+                    serialize_warc_record(headers, http.encode("latin-1"))
+                )
+            )
+
+    corpus = pages_from_records(
+        read_warc(spark, wpath), extractor="html"
+    )
+    got_text = {r.url: r.text for r in corpus.collect()}
+    assert got_text == expect_text
+
+    store = SnapStore(str(tmp_path / "snap"))
+    eng = FrontierEngine(
+        spark, corpus, store,
+        config=FrontierConfig(extractor="html", max_batches=4, default_budget=10),
+    )
+    seeds = spark.createDataFrame(
+        [(f"{site}/a/index.html", 1.0)], "url string, priority double"
+    )
+    manifests = eng.run(seeds)
+    assert len(manifests) == 3  # index -> its links -> f.html
+    b0 = store.read_df(spark, 0, "scheduled").collect()
+    assert [r.url for r in b0] == [f"{site}/a/index.html"]
+    assert b0[0].text_extracted == expect_text[f"{site}/a/index.html"]
+    b1 = {r.url: r for r in store.read_df(spark, 1, "scheduled").collect()}
+    assert set(b1) == index_links  # fragments/javascript skipped, hrefs resolved
+    assert b1[f"{site}/a/b.html"].status == "found"
+    assert b1[f"{site}/c.html"].status == "found"
+    assert b1[f"{site}/d.html"].status == "missing"
+    assert b1[f"{site}/a/e.html?x=1&y=2"].status == "missing"
+    assert b1[f"{site}/c.html"].text_extracted == "Gamma"
+    b2 = [r for r in store.read_df(spark, 2, "scheduled").collect()]
+    # b.html's relative link resolved against its <base>, not its url
+    assert [r.url for r in b2] == [f"{site}/z/f.html"]
+    assert b2[0].status == "found"
+    assert b2[0].text_extracted == "Final leaf"
 
 
 def test_seeds_from_sitemaps(spark):

@@ -1,0 +1,114 @@
+"""Tag-aware HTML text + link extraction kernel (VERDICT r2 #1).
+
+The synthetic-corpus kernels in sources/pages.py extract by the corpus's
+known shape (first ``<p>..</p>`` match; flat ``href="..."`` findall) — junk
+on any real-world page. This kernel handles what a real Common-Crawl
+segment actually contains: nested tags, script/style payloads, comments,
+HTML entities, relative hrefs and ``<base>``. (The reference stops at
+payload bytes — /root/reference/warc/warc.py yields raw payloads, no
+extractor — so this is engine scope, not reference parity.)
+
+It is deliberately a DETERMINISTIC REGEX PIPELINE, not a browser-grade DOM
+parser: every step is a documented text transform, so the whole kernel is
+replayable as a SQL oracle (queries doc_html_extract_agg /
+doc_html_links_agg) and stable across releases — the property a corpus
+fingerprinting/dedup pipeline needs more than tag-soup heroics.
+
+``html_to_text`` pipeline, in order:
+
+1. drop ``<!-- comments -->``
+2. drop ``<script>``/``<style>``/``<noscript>``/``<template>`` elements
+   wholesale (their content is code, not text — and may contain literal
+   ``</p>``-style markup that must not leak)
+3. block-level tags -> ``\n`` (paragraph structure survives); all other
+   tags -> ''
+4. unescape HTML entities (named + numeric, stdlib ``html.unescape``) —
+   AFTER tag stripping, so ``&lt;p&gt;`` in text stays text
+5. collapse horizontal whitespace runs to one space, trim around
+   newlines, collapse blank-line runs, strip the ends
+
+``extract_links``:
+
+- comment/script/style content is dropped first (links there are dead)
+- ``<base href>`` (first in document) rebases relative hrefs; else the
+  page url
+- ``a``/``area`` href attributes; double-quoted, single-quoted or unquoted
+- hrefs are entity-unescaped (``&amp;`` -> ``&`` — the single most common
+  real-world href mangling)
+- ``javascript:``/``mailto:``/``tel:``/``data:`` and pure-fragment hrefs
+  are skipped
+- resolved with ``urllib.parse.urljoin`` against the base; fragments
+  stripped
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from urllib.parse import urldefrag, urljoin
+
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_DROP_RE = re.compile(
+    r"<(script|style|noscript|template)\b.*?</\1\s*>", re.S | re.I
+)
+_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|tr|td|th|table|thead|tbody|h1|h2|h3|h4|h5|h6|"
+    "blockquote|pre|section|article|header|footer|nav|aside|form|hr|"
+    "dl|dt|dd|figure|figcaption|main|title|caption|address|fieldset"
+)
+_BLOCK_RE = re.compile(r"</?(?:%s)\b[^>]*>" % _BLOCK_TAGS, re.I)
+_TAG_RE = re.compile(r"<[^>]*>")
+_HSPACE_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_TRIM_RE = re.compile(r" ?\n ?")
+_NL_RUN_RE = re.compile(r"\n{2,}")
+
+# href value: "..." | '...' | unquoted-token
+_HREF_VAL = r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))"""
+_BASE_RE = re.compile(r"<base\b[^>]*?" + _HREF_VAL, re.I | re.S)
+_A_RE = re.compile(r"<(?:a|area)\b[^>]*?" + _HREF_VAL, re.I | re.S)
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
+
+
+def html_to_text(html: str | None) -> str | None:
+    """Real-HTML text extraction (pipeline in the module docstring)."""
+    if html is None:
+        return None
+    s = _COMMENT_RE.sub(" ", html)
+    s = _DROP_RE.sub(" ", s)
+    s = _BLOCK_RE.sub("\n", s)
+    s = _TAG_RE.sub("", s)
+    s = _html.unescape(s)
+    s = _HSPACE_RE.sub(" ", s)
+    s = _NL_TRIM_RE.sub("\n", s)
+    s = _NL_RUN_RE.sub("\n", s)
+    return s.strip()
+
+
+def _href_of(groups: tuple) -> str:
+    for g in groups:
+        if g is not None:
+            return g
+    return ""
+
+
+def extract_links(html: str | None, base_url: str | None) -> list[str]:
+    """Resolved out-links of a page (rules in the module docstring)."""
+    if html is None:
+        return []
+    s = _DROP_RE.sub(" ", _COMMENT_RE.sub(" ", html))
+    base = base_url or ""
+    bm = _BASE_RE.search(s)
+    if bm:
+        base = urljoin(base, _html.unescape(_href_of(bm.groups())).strip())
+    out: list[str] = []
+    for m in _A_RE.finditer(s):
+        href = _html.unescape(_href_of(m.groups())).strip()
+        if not href or href.startswith("#"):
+            continue
+        low = href.lower()
+        if any(low.startswith(sch) for sch in _SKIP_SCHEMES):
+            continue
+        u, _frag = urldefrag(urljoin(base, href))
+        if u:
+            out.append(u)
+    return out

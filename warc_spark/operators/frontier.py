@@ -90,6 +90,11 @@ class FrontierConfig:
     # correct even under bloom (the stale bit costs a rescue lookup, never
     # a wrong drop).
     seen_backend: str = "bloom"
+    # link+text extraction kernel: "synthetic" = the corpus-shape kernel
+    # (byte-identity oracle on generated corpora); "html" = the real-HTML
+    # kernel (kernels/htmlext — tag stripping, entity decode, relative-href
+    # resolution against the page url) for real crawled corpora
+    extractor: str = "synthetic"
     # canonicalize extracted links (kernels/urlnorm: lower-case scheme+host,
     # strip default port + fragment, ensure path) before frontier emission —
     # real-web href soup aliases the same resource many ways; off by default
@@ -123,21 +128,27 @@ def _read_blob_rows(path: str) -> list[dict]:
     return pq.read_table(path).to_pylist()
 
 
-_extract_page = None
+_extract_page_udfs: dict[str, object] = {}
 
 
-def _page_udf():
+def _page_udf(extractor: str = "synthetic"):
     """Vectorized link+text extraction from the WARC html bytes — one
     struct-returning kernel so the (large) binary column crosses the
-    Arrow boundary once per fetch, not once per derived column."""
-    global _extract_page
-    if _extract_page is None:
-        from ..sources.pages import extract_page_kernel
+    Arrow boundary once per fetch, not once per derived column.
+    ``extractor="html"`` selects the real-HTML kernel (tag-aware text,
+    ``<base>``-aware relative-href resolution against the page url)."""
+    if extractor not in _extract_page_udfs:
+        from ..sources.pages import extract_page_html_kernel, extract_page_kernel
 
-        _extract_page = F.pandas_udf(
-            extract_page_kernel, "links array<string>, text string"
+        kernel = (
+            extract_page_html_kernel
+            if extractor == "html"
+            else (lambda html, url: extract_page_kernel(html))
         )
-    return _extract_page
+        _extract_page_udfs[extractor] = F.pandas_udf(
+            kernel, "links array<string>, text string"
+        )
+    return _extract_page_udfs[extractor]
 
 
 class FrontierEngine:
@@ -396,7 +407,7 @@ class FrontierEngine:
                 "status",
                 F.when(F.col("html").isNotNull(), "found").otherwise("missing"),
             )
-            .withColumn("_page", _page_udf()(F.col("html")))
+            .withColumn("_page", _page_udf(cfg.extractor)(F.col("html"), F.col("url")))
             .withColumn(
                 "links",
                 F.when(

@@ -753,13 +753,159 @@ def doc_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FNV-1a 64-bit rolling fingerprint per doc. Oracle reduces the same
-    polynomial over the code points in SQL (docs are ASCII so code point ==
-    utf-8 byte; the kernel hashes utf-8 bytes)."""
+    """FNV-1a 64-bit rolling fingerprint per doc (the COMPAT kernel).
+    Oracle reduces the same polynomial over the code points in SQL (docs
+    are ASCII so code point == utf-8 byte; the kernel hashes utf-8
+    bytes)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            text.rolling_hash_udf(F.col("text"), compat=True).alias("fp64"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_poly_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+      CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp64
+    FROM (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(14695981039346656037::HUGEINT,
+            list_transform(str_split(text,''), c -> unicode(c)::HUGEINT)),
+          (h, v) -> (h * 1099511628211 + v) % 18446744073709551616::HUGEINT
+        ) AS h
+      FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def doc_poly_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial 64-bit rolling fingerprint per doc — the DEFAULT,
+    vectorized kernel (mul/add Horner recurrence, no xor, so the whole
+    document hashes as one numpy multiply-sum against a power table;
+    VERDICT r2 #5). Oracle replays the identical recurrence
+    ``h = h*B + byte mod 2^64`` in DuckDB."""
     d = t(spark, sf_dir, "documents")
     return (
         d.select("doc_id", text.rolling_hash_udf(F.col("text")).alias("fp64"))
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_html_extract_agg",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS n_verified,
+           SUM(LENGTH('doc ' || doc_id || chr(10) || text || chr(10)
+                      || '© 2026 <corp>')) AS sum_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_html_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-HTML text extraction (kernels/htmlext) oracle-checked end to
+    end: every document's text is wrapped in messy real-world HTML —
+    comments, a script whose string literal contains fake ``</p>`` markup,
+    style rules, nested divs, entity-escaped text, entity footer — and the
+    extractor must recover it EXACTLY (title + footer lines included,
+    whose closed form the oracle computes straight off the parquet). One
+    lost tag boundary, leaked script byte, or mis-decoded entity breaks
+    n_verified/sum_chars and the value hash."""
+    d = t(spark, sf_dir, "documents")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">", "&gt;",
+    )
+    html = F.concat(
+        F.lit(
+            "<html><!-- generated --><head><title>doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><style>p { color: red }</style>'
+            '<script>var x = "<p>not text</p>";</script></head>'
+            '<body><div class="m"><p>'
+        ),
+        esc,
+        F.lit("</p></div><p>&copy; 2026 &lt;corp&gt;</p></body></html>"),
+    )
+    expected = F.concat(
+        F.lit("doc "), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.col("text"), F.lit("\n© 2026 <corp>"),
+    )
+    ex = d.select(
+        "lang", text.html_to_text_udf(html).alias("got"), expected.alias("exp")
+    )
+    return (
+        ex.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("got") == F.col("exp"), 1).otherwise(0)).alias(
+                "n_verified"
+            ),
+            F.sum(F.length("got")).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_html_links_agg",
+    oracle="""
+    SELECT doc_id, link FROM (
+      SELECT doc_id,
+             'http://site' || (doc_id % 7) || '.example.com/a/b/page1.html' AS link
+      FROM documents
+      UNION ALL SELECT doc_id,
+             'http://site' || (doc_id % 7) || '.example.com/a/up.html?q=1&r=2'
+      FROM documents
+      UNION ALL SELECT doc_id,
+             'http://site' || (doc_id % 7) || '.example.com/rooted/' || doc_id
+      FROM documents
+      UNION ALL SELECT doc_id, 'https://other.example.org/abs' FROM documents
+    ) ORDER BY doc_id, link
+    """,
+)
+def doc_html_links_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-href resolution oracle-checked end to end: per document, a
+    page with a ``<base>`` tag, relative/parent/rooted/entity-escaped/
+    absolute hrefs plus fragment/javascript/commented-out links is pushed
+    through the link extractor; the resolved out-links must equal the
+    closed forms the oracle computes (urljoin semantics: sibling, parent,
+    root-relative, query preserved with ``&amp;`` decoded; dead links
+    skipped). The page url passed to the extractor is a decoy — the
+    ``<base>`` must win."""
+    d = t(spark, sf_dir, "documents")
+    doc_s = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("http://site"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".example.com/a/b/index.html"),
+    )
+    html = F.concat(
+        F.lit('<html><head><base href="'), base, F.lit('"></head><body>'),
+        F.lit(
+            '<a href="page1.html">x</a>'
+            '<a href="../up.html?q=1&amp;r=2">y</a>'
+            '<a href="/rooted/'
+        ),
+        doc_s,
+        F.lit(
+            '">z</a>'
+            '<a href="#frag">s</a><a href="javascript:void(0)">s</a>'
+            '<a href="https://other.example.org/abs">w</a>'
+            '<!-- <a href="dead.html">d</a> --></body></html>'
+        ),
+    )
+    links = text.html_links_udf(html, F.lit("http://pages.example.net/decoy"))
+    return (
+        d.select("doc_id", F.explode(links).alias("link"))
+        .orderBy("doc_id", "link")
     )
 
 
@@ -996,21 +1142,42 @@ def arc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_bloom_seen_urls")
+@register(
+    "stream_bloom_seen_urls",
+    oracle="""
+    SELECT DISTINCT 'doc://' || md5(text) AS url FROM documents ORDER BY url
+    """,
+)
 def stream_bloom_seen_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured-Streaming face of the URL-seen set: drop a synthetic
-    pages batch (with duplicates) into a landing dir, drain it through the
+    """Structured-Streaming face of the URL-seen set: stream the documents
+    parquet (landing dir = symlink, zero copy), derive a content url per
+    doc (``doc://`` + md5 of the text — duplicate texts alias the same
+    url, so the stream carries real dupes), drain it through the
     applyInPandasWithState bloom dedup (streaming/stream.py), return the
-    first-seen urls. Deterministic: same corpus, same hash keys."""
+    first-seen urls. The first-seen SET equals ``SELECT DISTINCT`` — the
+    DuckDB oracle — because the partitioned bloom state admits each url
+    exactly once across the whole stream (no false negatives; a false
+    positive would DROP a url and break the row count, so the oracle also
+    bounds the fpp observed on this corpus at zero)."""
+    import os
     import tempfile
 
-    from .streaming import run_available_now, stream_pages, streaming_bloom_seen
+    from .streaming import run_available_now, streaming_bloom_seen
 
-    landing = tempfile.mkdtemp(prefix="qstream_")
-    pages = synth_pages(spark, 2000, seed=42)
-    pages.write.mode("append").parquet(landing)
-    pages.write.mode("append").parquet(landing)  # a full duplicate drop
-    stream = stream_pages(spark, landing, max_files_per_trigger=8)
+    path = f"{sf_dir}/documents.parquet"
+    landing = tempfile.mkdtemp(prefix="qstream_seen_")
+    # land the SAME parquet twice (two symlinks, zero copy): the second
+    # drop is 100% duplicates, so the bloom state must suppress every url
+    # on the re-encounter for the DISTINCT oracle to hold
+    os.symlink(os.path.abspath(path), os.path.join(landing, "drop1.parquet"))
+    os.symlink(os.path.abspath(path), os.path.join(landing, "drop2.parquet"))
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(landing)
+        .select(F.concat(F.lit("doc://"), F.md5(F.col("text"))).alias("url"))
+    )
     got = run_available_now(
         streaming_bloom_seen(stream), "q_stream_bloom_seen"
     )
@@ -1062,13 +1229,27 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_decode_fake")
+@register(
+    "media_decode_fake",
+    oracle="""
+    SELECT substr(sha256(text), 1, 16) AS media_id,
+           'image' AS kind, 'image/unknown' AS mime,
+           ('0x' || substr(sha256(text), 1, 2))::INT + 1 AS width,
+           ('0x' || substr(sha256(text), 3, 2))::INT + 1 AS height
+    FROM documents ORDER BY media_id
+    """,
+)
 def media_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over arbitrary bytes: treat html payloads as
-    opaque media blobs, run the (deterministic, clearly-fake) stand-in
-    kernel, project the metadata."""
-    pages = synth_pages(spark, 500, seed=42)
-    meta = decode_media(pages, "html", kind="image", fake=True)
+    """Multimodal plumbing over arbitrary bytes: treat the documents'
+    utf-8 text bytes as opaque media blobs, run the (deterministic,
+    clearly-fake) stand-in kernel, project the metadata. The fake decode
+    is a pure function of sha256(blob) — media_id is the digest prefix
+    and width/height the first two digest bytes + 1 — so DuckDB replays
+    it in closed form over the same parquet (the blob bytes never need to
+    leave SQL; VERDICT r2 #6)."""
+    d = t(spark, sf_dir, "documents")
+    blobs = d.select(F.encode(F.col("text"), "UTF-8").alias("blob"))
+    meta = decode_media(blobs, "blob", kind="image", fake=True)
     return (
         meta.select("media_id", "kind", "mime", "width", "height")
         .orderBy("media_id")

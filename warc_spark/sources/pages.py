@@ -85,12 +85,17 @@ def _u01(x: np.ndarray, salt: int) -> np.ndarray:
     return (_mix(x, salt) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def _hosts(ids: np.ndarray, n_hosts: int, seed: int) -> np.ndarray:
-    # log-uniform rank -> Zipf-ish skew: rank 0 is the hottest host
+def _hosts(ids: np.ndarray, n_hosts: int, seed: int, hot_frac: float = 0.0) -> np.ndarray:
+    # log-uniform rank -> Zipf-ish skew: rank 0 is the hottest host.
+    # hot_frac > 0 pins that fraction of pages onto host 0 on top of the
+    # natural skew (the skew-stress knob: e.g. 0.3 = one host holds 30%
+    # of the corpus/frontier — bench_skew.py's north_star evidence).
     u = _u01(ids, seed + 1)
     rank = np.minimum(
         (np.exp(u * np.log(n_hosts)) - 1.0).astype(np.int64), n_hosts - 1
     )
+    if hot_frac:
+        rank = np.where(_u01(ids, seed + 8) < hot_frac, 0, rank)
     return rank
 
 
@@ -98,8 +103,10 @@ def _host_names(rank: np.ndarray) -> pd.Series:
     return "host" + pd.Series(rank).astype(str) + ".example.org"
 
 
-def _urls_for(ids: np.ndarray, n_hosts: int, seed: int) -> pd.Series:
-    host = _host_names(_hosts(ids, n_hosts, seed))
+def _urls_for(
+    ids: np.ndarray, n_hosts: int, seed: int, hot_frac: float = 0.0
+) -> pd.Series:
+    host = _host_names(_hosts(ids, n_hosts, seed, hot_frac))
     return "http://" + host + "/page/" + pd.Series(ids).astype(str)
 
 
@@ -126,13 +133,15 @@ def _langs_for(ids: np.ndarray, seed: int) -> pd.Series:
     return pd.Series(_LANGS[np.minimum(idx, len(_LANGS) - 1)])
 
 
-def _links_for(ids: np.ndarray, n: int, n_hosts: int, seed: int) -> pd.Series:
+def _links_for(
+    ids: np.ndarray, n: int, n_hosts: int, seed: int, hot_frac: float = 0.0
+) -> pd.Series:
     """Per-page anchor list (html string); targets are other page ids."""
     n_links = 2 + (_mix(ids, seed + 4) % np.uint64(_MAX_LINKS - 1)).astype(np.int64)
     out = pd.Series([""] * len(ids))
     for k in range(_MAX_LINKS):
         tgt = (_mix(ids, seed + 20 + k) % np.uint64(n)).astype(np.int64)
-        anchor = '<a href="' + _urls_for(tgt, n_hosts, seed) + '">l</a>'
+        anchor = '<a href="' + _urls_for(tgt, n_hosts, seed, hot_frac) + '">l</a>'
         out = out.where(~(k < n_links), out + anchor)
     return out
 
@@ -146,13 +155,15 @@ def _pseudo_uuid(ids: np.ndarray, seed: int) -> pd.Series:
     )
 
 
-def gen_pages_pdf(ids: np.ndarray, n: int, n_hosts: int, seed: int) -> pd.DataFrame:
+def gen_pages_pdf(
+    ids: np.ndarray, n: int, n_hosts: int, seed: int, hot_frac: float = 0.0
+) -> pd.DataFrame:
     """The generation kernel: page rows for the given ids (vectorized)."""
     ids = ids.astype(np.uint64)
-    url = _urls_for(ids, n_hosts, seed)
+    url = _urls_for(ids, n_hosts, seed, hot_frac)
     text = _texts_for(ids, seed)
     lang = _langs_for(ids, seed)
-    links = _links_for(ids, n, n_hosts, seed)
+    links = _links_for(ids, n, n_hosts, seed, hot_frac)
     secs = (_mix(ids, seed + 7) % np.uint64(86400)).astype("timedelta64[s]")
     warc_ts = pd.Series((_BASE_TS + secs).astype("datetime64[ns]"))
     date_str = warc_ts.dt.strftime("%Y-%m-%dT%H:%M:%SZ")
@@ -187,15 +198,18 @@ def synth_pages(
     seed: int = 42,
     n_hosts: int | None = None,
     partitions: int | None = None,
+    hot_frac: float = 0.0,
 ) -> DataFrame:
-    """Distributed deterministic pages table (map-only over spark.range)."""
+    """Distributed deterministic pages table (map-only over spark.range).
+    ``hot_frac`` pins that fraction of pages (and link targets) onto one
+    host — the host-skew stress corpus."""
     n_hosts = n_hosts or max(8, n // 200)
     partitions = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield gen_pages_pdf(pdf["id"].to_numpy(), n, n_hosts, seed)
+                yield gen_pages_pdf(pdf["id"].to_numpy(), n, n_hosts, seed, hot_frac)
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, PAGES_SCHEMA)
 
@@ -245,9 +259,40 @@ def extract_text_from_payload_kernel(payload: pd.Series) -> pd.Series:
     return body.str.extract(_TEXT_RE, expand=False)
 
 
+# ---- real-HTML extraction (kernels/htmlext; VERDICT r2 #1) ---------------
+
+def extract_page_html_kernel(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """WARC record bytes + page url -> (links array<string>, text string)
+    via the REAL-HTML kernel (kernels/htmlext): tag-aware text extraction
+    and relative-href resolution against the record's target uri (+ any
+    ``<base>``). Same one-Arrow-pass contract as extract_page_kernel —
+    the binary column crosses the boundary once. Null html (fetch miss)
+    yields null links/text."""
+    from ..kernels.htmlext import extract_links, html_to_text
+
+    s = html.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
+    body = s.str.split("\r\n\r\n", n=2).str[2]
+    links = [
+        extract_links(b, u) if b is not None else None
+        for b, u in zip(body, url)
+    ]
+    text = [html_to_text(b) for b in body]
+    return pd.DataFrame({"links": links, "text": text})
+
+
+def extract_text_html_from_payload_kernel(payload: pd.Series) -> pd.Series:
+    """Parsed-record payload (HTTP response bytes) -> real-HTML extracted
+    text (kernels/htmlext.html_to_text), one framing layer down."""
+    from ..kernels.htmlext import html_to_text
+
+    s = payload.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
+    body = s.str.split("\r\n\r\n", n=1).str[1]
+    return pd.Series([html_to_text(b) for b in body], index=payload.index)
+
+
 def synth_seeds(
     spark: SparkSession, n_pages: int, n_seeds: int = 20, seed: int = 42,
-    n_hosts: int | None = None,
+    n_hosts: int | None = None, hot_frac: float = 0.0,
 ) -> DataFrame:
     """Distributed deterministic seed list (same rows the oracle simulator
     uses). Generated executor-side over ``spark.range`` — a driver-local
@@ -263,7 +308,7 @@ def synth_seeds(
                 ids = i * np.uint64(7) % np.uint64(n_pages)
                 yield pd.DataFrame(
                     {
-                        "url": _urls_for(ids, n_hosts_v, seed),
+                        "url": _urls_for(ids, n_hosts_v, seed, hot_frac),
                         "priority": 1.0 - (i.astype(np.int64) % 499) * 1e-3,
                     }
                 )
@@ -280,14 +325,19 @@ def synth_seeds(
     return df.groupBy("url").agg(F.max("priority").alias("priority"))
 
 
-def pages_from_records(records: DataFrame) -> DataFrame:
+def pages_from_records(records: DataFrame, extractor: str = "synthetic") -> DataFrame:
     """WARC records table (``read_warc``/``read_warc_presplit`` output) ->
     the input_hint pages table (url, warc_ts, html, text, lang): response
     records re-serialized to their wire bytes (byte-identical — round-trip
     law in tests/test_kernels_warc.py), text extracted from the payload,
     lang identified heuristically. This is the ingest bridge: real WARC
     files in, the frontier's corpus out — one map-only Arrow pass, no
-    shuffle."""
+    shuffle.
+
+    ``extractor``: ``"synthetic"`` keeps the corpus-shape kernel (the
+    byte-identity oracle for generated corpora); ``"html"`` uses the
+    REAL-HTML kernel (kernels/htmlext — tag stripping, entity decode,
+    whitespace normalization) — what a real Common-Crawl segment needs."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import BinaryType
@@ -305,7 +355,12 @@ def pages_from_records(records: DataFrame) -> DataFrame:
     reser_udf = F.pandas_udf(reserialize, BinaryType())
     from pyspark.sql.types import StringType
 
-    extract_udf = F.pandas_udf(extract_text_from_payload_kernel, StringType())
+    text_kernel = (
+        extract_text_html_from_payload_kernel
+        if extractor == "html"
+        else extract_text_from_payload_kernel
+    )
+    extract_udf = F.pandas_udf(text_kernel, StringType())
     resp = records.filter(
         (F.col("warc_type") == "response") & F.col("target_uri").isNotNull()
     )
