@@ -67,10 +67,29 @@ def run_frontier(spark, n_pages: int = 1_500_000, batches: int = 3) -> tuple[flo
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def calibrate_epoch(cpus: int) -> dict:
+    """No-JVM hardware burns (same kernels as bench_scaling.py) run BEFORE
+    Spark starts: the host's delivered cpu/bandwidth this epoch, at 1 and
+    at ``cpus`` busy processes. The sandbox's performance drifts by tens
+    of percent between epochs (BENCH/BASELINE.md), so round-over-round
+    BENCH_r{N} comparisons divide by these to separate code deltas from
+    host drift (VERDICT r2 #3/#4)."""
+    from bench_scaling import _bw_burn, _cpu_burn, calibrate
+
+    return {
+        "cpu_tasks_per_sec_1": round(calibrate(_cpu_burn, 1, [40_000_000]), 2),
+        "cpu_tasks_per_sec_n": round(calibrate(_cpu_burn, cpus, [40_000_000]), 2),
+        "bw_tasks_per_sec_1": round(calibrate(_bw_burn, 1, [0]), 2),
+        "bw_tasks_per_sec_n": round(calibrate(_bw_burn, cpus, [0]), 2),
+        "n": cpus,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    calibration = calibrate_epoch(int(cpus))
 
     # measured (BENCH notes): a LARGER heap is reliably SLOWER for this
     # workload at local[32] (8g: ~33s for the frontier leg; 24g: 46-61s;
@@ -101,6 +120,7 @@ def main() -> None:
         "frontier_urls_per_sec": round(fsched / fdt, 1) if fdt else None,
         "frontier_urls_scheduled": fsched,
         "cpus": int(cpus),
+        "calibration": calibration,
     }
     spark.stop()
     print(json.dumps(out))

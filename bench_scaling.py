@@ -331,6 +331,16 @@ fetch-simulates {max(r['ups8'] for r in rr):,} urls/s at local[{hi}]
 scheduling, bloom membership, politeness, link+text extraction, digesting
 and snapshot checkpointing per batch.
 
+## Normalizing per-round bench.py numbers
+
+`bench.py` (the driver's per-round hook) runs the same no-JVM cpu and
+bandwidth burns before Spark starts and emits them as `calibration` in its
+JSON line. To compare BENCH_r{{N}} totals across rounds, divide each
+round's times by that round's `calibration` ratio (compute-bound queries
+normalize by the cpu burn, the frontier leg by the bandwidth burn) — an
+apparent cross-round regression that normalizes away is host-epoch drift,
+not a code delta.
+
 Reproduce: `python bench_scaling.py`
 (env: SCALING_PAGES, SCALING_SEEDS, SCALING_BATCHES, SCALING_ROUNDS,
 SCALING_PAIR, SCALING_WIDE, SCALING_DRIVER_MEM).
