@@ -2,7 +2,7 @@
 tag stripping, script/style/comment removal, entity decoding, whitespace
 normalization, <base>-aware relative-href resolution."""
 
-from warc_spark.kernels.htmlext import extract_links, html_to_text
+from warc_spark.kernels.htmlext import extract_links, html_to_text, redecode_utf8
 
 
 class TestHtmlToText:
@@ -120,3 +120,30 @@ class TestExtractLinks:
 
     def test_none_html(self):
         assert extract_links(None, self.BASE) == []
+
+
+class TestRedecodeUtf8:
+    """Charset fix-up for the byte-preserving latin-1 ingest path."""
+
+    def test_utf8_bytes_redecoded(self):
+        # "café" as utf-8 bytes, read back through a latin-1 decode
+        raw = "café".encode("utf-8").decode("latin-1")
+        assert raw == "cafÃ©"  # the mojibake shape
+        assert redecode_utf8(raw) == "café"
+
+    def test_real_latin1_preserved(self):
+        # 0xE9 alone is invalid utf-8 -> stays the latin-1 decode
+        raw = b"caf\xe9".decode("latin-1")
+        assert redecode_utf8(raw) == "café"
+
+    def test_ascii_and_none_unchanged(self):
+        assert redecode_utf8("plain ascii") == "plain ascii"
+        assert redecode_utf8(None) is None
+
+    def test_already_decoded_passthrough(self):
+        # a string that cannot round-trip to latin-1 was decoded upstream
+        assert redecode_utf8("已解码") == "已解码"
+
+    def test_pipeline_with_utf8_page(self):
+        body = "<p>Zoë &amp; 中文</p>".encode("utf-8").decode("latin-1")
+        assert html_to_text(redecode_utf8(body)) == "Zoë & 中文"

@@ -69,6 +69,26 @@ _A_RE = re.compile(r"<(?:a|area)\b[^>]*?" + _HREF_VAL, re.I | re.S)
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
 
 
+def redecode_utf8(s: str | None) -> str | None:
+    """Charset fix-up for the byte-preserving ingest path: WARC payload
+    bytes reach the kernels as a latin-1 decode (bijective bytes<->chars,
+    so nothing is lost). Real web pages are overwhelmingly utf-8 — if the
+    underlying bytes are valid utf-8, re-decode them as such (ascii is
+    unchanged; actual latin-1 text fails utf-8 validation and stays as
+    decoded; a string that can't round-trip to latin-1 was already
+    properly decoded upstream)."""
+    if s is None:
+        return None
+    try:
+        b = s.encode("latin-1")
+    except UnicodeEncodeError:
+        return s
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return s
+
+
 def html_to_text(html: str | None) -> str | None:
     """Real-HTML text extraction (pipeline in the module docstring)."""
     if html is None:

@@ -268,10 +268,11 @@ def extract_page_html_kernel(html: pd.Series, url: pd.Series) -> pd.DataFrame:
     ``<base>``). Same one-Arrow-pass contract as extract_page_kernel —
     the binary column crosses the boundary once. Null html (fetch miss)
     yields null links/text."""
-    from ..kernels.htmlext import extract_links, html_to_text
+    from ..kernels.htmlext import extract_links, html_to_text, redecode_utf8
 
     s = html.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
     body = s.str.split("\r\n\r\n", n=2).str[2]
+    body = [redecode_utf8(b) for b in body]
     links = [
         extract_links(b, u) if b is not None else None
         for b, u in zip(body, url)
@@ -283,11 +284,13 @@ def extract_page_html_kernel(html: pd.Series, url: pd.Series) -> pd.DataFrame:
 def extract_text_html_from_payload_kernel(payload: pd.Series) -> pd.Series:
     """Parsed-record payload (HTTP response bytes) -> real-HTML extracted
     text (kernels/htmlext.html_to_text), one framing layer down."""
-    from ..kernels.htmlext import html_to_text
+    from ..kernels.htmlext import html_to_text, redecode_utf8
 
     s = payload.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
     body = s.str.split("\r\n\r\n", n=1).str[1]
-    return pd.Series([html_to_text(b) for b in body], index=payload.index)
+    return pd.Series(
+        [html_to_text(redecode_utf8(b)) for b in body], index=payload.index
+    )
 
 
 def synth_seeds(
