@@ -20,22 +20,76 @@ import zlib
 GZIP_MAGIC = b"\x1f\x8b"
 
 
-def iter_gzip_members(data: bytes):
+def iter_gzip_members(data: bytes, chunk_bytes: int = 1 << 20):
     """Yield ``(offset, compressed_size, decompressed_bytes)`` per member.
 
     Offsets are in *compressed* space, matching the reference's
     ``WARCFile.browse()``/``tell()`` semantics (warc/warc.py:284-313).
+
+    Each member is fed to zlib in ``chunk_bytes`` memoryview slices, so
+    the per-member overshoot (``unused_data``, which zlib materializes as
+    a COPY) is at most one chunk. The obvious one-shot
+    ``d.decompress(data[pos:])`` re-copies the entire remaining file into
+    ``unused_data`` for EVERY member — quadratic in member count, i.e.
+    ~10^14 bytes of memcpy on a 1 GB member-per-record WARC.
     """
-    pos = 0
+    mv = memoryview(data)
     n = len(data)
+    pos = 0
     while pos < n:
         if data[pos : pos + 2] != GZIP_MAGIC:
             raise OSError("Not a gzipped member at offset %d" % pos)
         d = zlib.decompressobj(wbits=31)
-        payload = d.decompress(data[pos:]) + d.flush()
-        consumed = (n - pos) - len(d.unused_data)
-        yield pos, consumed, payload
+        out = []
+        cur = pos
+        while True:
+            chunk = mv[cur : cur + chunk_bytes]
+            if not len(chunk):
+                raise OSError("truncated gzip member at offset %d" % pos)
+            out.append(d.decompress(chunk))
+            cur += len(chunk)
+            if d.eof:
+                consumed = cur - pos - len(d.unused_data)
+                break
+        yield pos, consumed, b"".join(out)
         pos += consumed
+
+
+def iter_gzip_member_offsets_streamed(fh, chunk_bytes: int = 8 << 20):
+    """Yield ``(offset, compressed_size)`` per member from a file-like
+    object (``read()``), using O(chunk_bytes) memory.
+
+    This is the bounded-memory INDEX pass for arbitrarily large
+    multi-member files: a 100 GB WARC never materializes (and unlike
+    ``iter_gzip_members`` over a whole-file buffer, there is no
+    per-member tail re-slice — that copy is quadratic in member count).
+    Decompressed output is discarded; only the stream geometry is kept.
+    """
+    pos = 0            # absolute offset of the current member's start
+    d = zlib.decompressobj(wbits=31)
+    consumed = 0       # bytes of the current member consumed so far
+    mid_member = False
+    while True:
+        chunk = fh.read(chunk_bytes)
+        if not chunk:
+            if mid_member:
+                raise OSError("truncated gzip member at offset %d" % pos)
+            return
+        while chunk:
+            d.decompress(chunk)
+            if d.eof:
+                used = len(chunk) - len(d.unused_data)
+                consumed += used
+                yield pos, consumed
+                pos += consumed
+                chunk = d.unused_data
+                d = zlib.decompressobj(wbits=31)
+                consumed = 0
+                mid_member = False
+            else:
+                consumed += len(chunk)
+                mid_member = True
+                chunk = b""
 
 
 def split_gzip_members(data: bytes) -> list[tuple[int, int, bytes]]:

@@ -2,6 +2,7 @@ from .warc_source import (  # noqa: F401
     MEMBER_INDEX_SCHEMA,
     WARC_RECORD_SCHEMA,
     index_warc_members,
+    index_warc_members_streamed,
     parse_warc_column,
     plan_warc_splits,
     read_warc,

@@ -182,6 +182,56 @@ def index_warc_members(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(gen, MEMBER_INDEX_SCHEMA)
 
 
+def index_warc_members_streamed(
+    spark: SparkSession,
+    paths: list[str] | DataFrame,
+    chunk_bytes: int = 8 << 20,
+) -> DataFrame:
+    """Bounded-memory variant of ``index_warc_members``: each task STREAMS
+    its files through ``zlib`` in ``chunk_bytes`` reads (pyarrow.fs ranged
+    opener, so remote schemes work) instead of materializing whole files —
+    the index pass for WARC files larger than executor memory (a 100 GB
+    archive costs one 8 MB buffer). ``paths`` is a list of file paths or a
+    single-column ``path`` DataFrame (e.g. from a catalog listing); plain
+    (non-gzip) files index as one whole-file member, like
+    ``index_warc_members``."""
+    from ..kernels.gzipmember import iter_gzip_member_offsets_streamed
+
+    if isinstance(paths, list):
+        n_part = min(len(paths), spark.sparkContext.defaultParallelism) or 1
+        pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+        pdf = pdf.repartition(n_part, "path")
+    else:
+        pdf = paths
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for p in b["path"]:
+                with _open_ranged(p) as fh:
+                    head = fh.read(2)
+                    fh.seek(0)
+                    if head == GZIP_MAGIC:
+                        for i, (off, size) in enumerate(
+                            iter_gzip_member_offsets_streamed(fh, chunk_bytes)
+                        ):
+                            rows.append(
+                                {"path": p, "offset": off, "length": size,
+                                 "member_index": i}
+                            )
+                    else:
+                        size = fh.seek(0, 2)
+                        rows.append(
+                            {"path": p, "offset": 0, "length": size,
+                             "member_index": 0}
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEMBER_INDEX_SCHEMA.fields]
+            )
+
+    return pdf.mapInPandas(gen, MEMBER_INDEX_SCHEMA)
+
+
 def plan_warc_splits(index: DataFrame, split_bytes: int = 64 << 20) -> DataFrame:
     """Group a member index into byte-bounded contiguous splits:
     ``(path, split_id, start, end, first_member)``. Pure arithmetic on the
