@@ -212,6 +212,40 @@ class TestBloomPath:
         )
 
 
+class TestUrlBucketKeyFrontier:
+    def test_url_bucket_key_equals_exact(self, spark, pages_df, seeds_df, tmp_path):
+        """bloom_bucket_key="url" (the adversarial-host-skew layout) must
+        reproduce the exact-path crawl batch-for-batch."""
+        cfg_u = FrontierConfig(max_batches=3, default_budget=4, use_bloom=True,
+                               bloom_bucket_key="url",
+                               bloom_buckets=8, bloom_bits=1 << 12)
+        cfg_e = FrontierConfig(max_batches=3, default_budget=4, use_bloom=False)
+        store_u, mu = run_engine(spark, pages_df, seeds_df, tmp_path / "u", cfg_u)
+        store_e, me = run_engine(spark, pages_df, seeds_df, tmp_path / "e", cfg_e)
+        assert len(mu) == len(me)
+        assert collect_batches(store_u, spark, len(mu)) == collect_batches(
+            store_e, spark, len(me)
+        )
+
+    def test_resume_rejects_mismatched_bucket_key(
+        self, spark, pages_df, seeds_df, tmp_path
+    ):
+        store, _ = run_engine(
+            spark, pages_df, seeds_df, tmp_path,
+            FrontierConfig(max_batches=2, default_budget=4, use_bloom=True,
+                           bloom_bucket_key="url",
+                           bloom_buckets=8, bloom_bits=1 << 12),
+        )
+        eng = FrontierEngine(
+            spark, pages_df, store,
+            config=FrontierConfig(max_batches=4, default_budget=4, use_bloom=True,
+                                  bloom_bucket_key="host",
+                                  bloom_buckets=8, bloom_bits=1 << 12),
+        )
+        with pytest.raises(ValueError, match="bloom_bucket_key"):
+            eng.run(seeds_df, resume=True)
+
+
 class TestDistributedProbe:
     """The at-scale membership path: blob state as a distributed table +
     co-partitioned probe join — the driver never holds blob bytes."""

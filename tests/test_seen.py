@@ -62,6 +62,44 @@ class TestBloom:
         assert fp / 1000 < 0.05
 
 
+class TestUrlBucketKey:
+    """bucket_key="url": balanced state under adversarial host skew
+    (a single-host corpus concentrates ALL state in one bucket under the
+    default host key; url-hash buckets spread it) — same membership
+    semantics."""
+
+    def _one_host(self, spark, ids):
+        return spark.createDataFrame(
+            [("http://hot.example.org/p/%d" % i,) for i in ids], "url string"
+        )
+
+    def test_single_host_spreads_across_buckets(self, spark):
+        urls = self._one_host(spark, range(0, 400))
+        by_host = BloomSeenSet(n_buckets=8, m_bits=1 << 12, bucket_key="host")
+        by_url = BloomSeenSet(n_buckets=8, m_bits=1 << 12, bucket_key="url")
+        assert by_host.build_blobs(urls).count() == 1  # all state in one bucket
+        spread = by_url.build_blobs(urls)
+        assert spread.count() == 8  # every bucket holds a share
+        assert spread.agg(F.max("n_items")).first()[0] < 400 * 0.25
+
+    def test_membership_equivalence(self, spark, seen_urls, candidates):
+        bloom = BloomSeenSet(n_buckets=8, m_bits=1 << 12, bucket_key="url")
+        blobs = bloom.build_blobs(seen_urls)
+        composed = bloom.filter_new(candidates, blobs, seen_urls)
+        exact = exact_new_urls(candidates, seen_urls)
+        assert {r.url for r in composed.collect()} == {r.url for r in exact.collect()}
+
+    def test_cuckoo_url_key(self, spark, seen_urls, candidates):
+        ck = CuckooSeenSet(n_buckets=8, table_buckets=1 << 10, bucket_key="url")
+        blobs = ck.build_blobs(seen_urls)
+        probed = ck.probe(candidates, blobs)
+        truly_seen = candidates.join(seen_urls, "url", "left_semi")
+        missed = truly_seen.join(
+            probed.filter(~F.col("maybe_seen")).select("url"), "url", "left_semi"
+        )
+        assert missed.count() == 0
+
+
 class TestCuckoo:
     def test_membership_and_delete(self, spark):
         ck = CuckooSeenSet(n_buckets=4, table_buckets=1 << 10)

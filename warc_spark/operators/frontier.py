@@ -90,6 +90,12 @@ class FrontierConfig:
     # correct even under bloom (the stale bit costs a rescue lookup, never
     # a wrong drop).
     seen_backend: str = "bloom"
+    # membership bucket key: "host" co-locates a host's urls with its blob
+    # (the default layout); "url" spreads buckets uniformly under ANY host
+    # distribution — the adversarial-skew setting (a 30%-hot host would
+    # otherwise put 30% of the state and build work in one bucket). Part
+    # of the state geometry: validated at resume like n_buckets/m_bits.
+    bloom_bucket_key: str = "host"
     # link+text extraction kernel: "synthetic" = the corpus-shape kernel
     # (byte-identity oracle on generated corpora); "html" = the real-HTML
     # kernel (kernels/htmlext — tag stripping, entity decode, relative-href
@@ -188,11 +194,15 @@ class FrontierEngine:
                 .persist()
             )
         self.bloom = BloomSeenSet(
-            n_buckets=self.cfg.bloom_buckets, m_bits=self.cfg.bloom_bits
+            n_buckets=self.cfg.bloom_buckets, m_bits=self.cfg.bloom_bits,
+            bucket_key=self.cfg.bloom_bucket_key,
         )
         from .seen import CuckooSeenSet
 
-        self.cuckoo = CuckooSeenSet(n_buckets=self.cfg.bloom_buckets)
+        self.cuckoo = CuckooSeenSet(
+            n_buckets=self.cfg.bloom_buckets,
+            bucket_key=self.cfg.bloom_bucket_key,
+        )
         self._blob_bc = None  # broadcast of the driver blob map
         self._blobs_state = None  # distributed state DF (distributed/cuckoo)
 
@@ -311,12 +321,13 @@ class FrontierEngine:
         stored = self.store.manifest(last).get("config", {})
         if cfg.seen_backend == "cuckoo":
             if stored.get("use_bloom", False) and stored.get("seen_backend") == "cuckoo":
-                if stored.get("bloom_buckets", cfg.bloom_buckets) != cfg.bloom_buckets:
-                    raise ValueError(
-                        "cannot resume: cuckoo state was written with "
-                        f"bloom_buckets={stored.get('bloom_buckets')} but this "
-                        f"engine uses {cfg.bloom_buckets}"
-                    )
+                for key in ("bloom_buckets", "bloom_bucket_key"):
+                    if stored.get(key, getattr(cfg, key)) != getattr(cfg, key):
+                        raise ValueError(
+                            "cannot resume: cuckoo state was written with "
+                            f"{key}={stored.get(key)} but this engine uses "
+                            f"{getattr(cfg, key)}"
+                        )
                 self._blobs_state = self.store.read_df(
                     self.spark, last, "cuckoo_state"
                 ).persist()
@@ -334,7 +345,7 @@ class FrontierEngine:
                 ).collect(),
             )
         if stored.get("use_bloom", False):
-            for key in ("bloom_buckets", "bloom_bits"):
+            for key in ("bloom_buckets", "bloom_bits", "bloom_bucket_key"):
                 if key in stored and stored[key] != getattr(cfg, key):
                     raise ValueError(
                         f"cannot resume: checkpoint was written with "

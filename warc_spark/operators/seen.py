@@ -57,9 +57,20 @@ def _hash2(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
-def bucket_of(url_col, n_buckets: int):
-    """Deterministic bucket from the url's host — co-locates a host's urls
-    with its membership blob (JVM-side, xxhash64)."""
+def bucket_of(url_col, n_buckets: int, key: str = "host"):
+    """Deterministic bucket for membership state (JVM-side, xxhash64).
+
+    ``key="host"`` (default) co-locates a host's urls with its blob —
+    natural for politeness-adjacent locality, but an adversarially hot
+    host (30% of the frontier on one host) lands 30% of the state and
+    build work in ONE bucket by design. ``key="url"`` hashes the full
+    url: buckets stay balanced under ANY host distribution (membership
+    correctness only needs url -> deterministic bucket; nothing about
+    the host is required). The key is part of the state geometry — blobs
+    built under one key cannot be probed under the other (validated at
+    frontier resume alongside n_buckets/m_bits)."""
+    if key == "url":
+        return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
     host = F.lower(F.regexp_extract(url_col, r"//([^/:?#]+)", 1))
     return F.pmod(F.xxhash64(host), F.lit(n_buckets)).cast("int")
 
@@ -82,11 +93,19 @@ class BloomSeenSet:
     Sandbox defaults are smaller but the layout is identical.
     """
 
-    def __init__(self, n_buckets: int = 64, m_bits: int = 1 << 17, k: int = 7):
+    def __init__(
+        self,
+        n_buckets: int = 64,
+        m_bits: int = 1 << 17,
+        k: int = 7,
+        bucket_key: str = "host",
+    ):
         assert m_bits % 8 == 0
+        assert bucket_key in ("host", "url")
         self.n_buckets = n_buckets
         self.m_bits = m_bits
         self.k = k
+        self.bucket_key = bucket_key
 
     # -- build ----------------------------------------------------------
     def build_blobs(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
@@ -110,7 +129,7 @@ class BloomSeenSet:
         return (
             urls.select(
                 F.col(url_col).alias("_url"),
-                bucket_of(F.col(url_col), self.n_buckets).alias("_bucket"),
+                bucket_of(F.col(url_col), self.n_buckets, self.bucket_key).alias("_bucket"),
             )
             .groupBy("_bucket")
             .applyInPandas(build, BLOOM_SCHEMA)
@@ -172,7 +191,7 @@ class BloomSeenSet:
         from pyspark.sql.types import BooleanType
 
         with_bucket = candidates.withColumn(
-            "bucket", bucket_of(F.col(url_col), self.n_buckets)
+            "bucket", bucket_of(F.col(url_col), self.n_buckets, self.bucket_key)
         )
         out_schema = StructType(
             list(with_bucket.schema.fields) + [StructField("maybe_seen", BooleanType())]
@@ -239,7 +258,7 @@ class BloomSeenSet:
         udf = F.pandas_udf(test, BooleanType())
         return candidates.withColumn(
             "maybe_seen",
-            udf(F.col(url_col), bucket_of(F.col(url_col), self.n_buckets)),
+            udf(F.col(url_col), bucket_of(F.col(url_col), self.n_buckets, self.bucket_key)),
         )
 
     def filter_new(
@@ -290,10 +309,18 @@ class CuckooSeenSet:
     at most ``max_kicks`` times per item (batch-level Python, not per-row
     Spark)."""
 
-    def __init__(self, n_buckets: int = 64, table_buckets: int = 1 << 12, max_kicks: int = 200):
+    def __init__(
+        self,
+        n_buckets: int = 64,
+        table_buckets: int = 1 << 12,
+        max_kicks: int = 200,
+        bucket_key: str = "host",
+    ):
+        assert bucket_key in ("host", "url")
         self.n_buckets = n_buckets
         self.table_buckets = table_buckets
         self.max_kicks = max_kicks
+        self.bucket_key = bucket_key
 
     def _fingerprint(self, urls: pd.Series) -> np.ndarray:
         h = pd.util.hash_array(urls.astype(object).to_numpy(), hash_key=_HASH_KEY_1)
@@ -364,7 +391,7 @@ class CuckooSeenSet:
         return (
             urls.select(
                 F.col(url_col).alias("_url"),
-                bucket_of(F.col(url_col), self.n_buckets).alias("_bucket"),
+                bucket_of(F.col(url_col), self.n_buckets, self.bucket_key).alias("_bucket"),
             )
             .groupBy("_bucket")
             .applyInPandas(build, CUCKOO_SCHEMA)
@@ -396,7 +423,7 @@ class CuckooSeenSet:
 
         with_bucket = urls.select(
             F.col(url_col).alias("_url"),
-            bucket_of(F.col(url_col), self.n_buckets).alias("bucket"),
+            bucket_of(F.col(url_col), self.n_buckets, self.bucket_key).alias("bucket"),
         )
         joined = blobs.join(with_bucket, on="bucket", how="full")
         return joined.groupBy("bucket").applyInPandas(insert, CUCKOO_SCHEMA)
@@ -432,7 +459,7 @@ class CuckooSeenSet:
 
         with_bucket = urls.select(
             F.col(url_col).alias("_url"),
-            bucket_of(F.col(url_col), self.n_buckets).alias("bucket"),
+            bucket_of(F.col(url_col), self.n_buckets, self.bucket_key).alias("bucket"),
         )
         joined = blobs.join(with_bucket, on="bucket", how="left")
         return joined.groupBy("bucket").applyInPandas(delete, CUCKOO_SCHEMA)
@@ -471,7 +498,7 @@ class CuckooSeenSet:
         from pyspark.sql.types import BooleanType
 
         with_bucket = candidates.withColumn(
-            "bucket", bucket_of(F.col(url_col), self.n_buckets)
+            "bucket", bucket_of(F.col(url_col), self.n_buckets, self.bucket_key)
         )
         out_schema = StructType(
             list(with_bucket.schema.fields) + [StructField("maybe_seen", BooleanType())]
