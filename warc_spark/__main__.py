@@ -66,17 +66,90 @@ def _build_parser() -> argparse.ArgumentParser:
         help="membership filter; cuckoo supports expiry/recrawl (deletion)",
     )
     c.add_argument(
+        "--bucket-key", choices=("host", "url"), default="host",
+        help="membership-state bucket key: 'url' keeps buckets balanced "
+             "under adversarial host skew (one host holding a large share "
+             "of the frontier)",
+    )
+    c.add_argument(
         "--rescue-mode", choices=("auto", "broadcast", "shuffle"), default="auto",
         help="emit-dedup sliver rescue plan; forcing one skips the "
              "per-batch sliver-count job",
     )
+    c.add_argument(
+        "--extractor", choices=("synthetic", "html"), default="synthetic",
+        help="link+text extraction kernel: 'html' = real-HTML (tag-aware "
+             "text, <base>-aware relative-href resolution) for real "
+             "crawled corpora",
+    )
     c.add_argument("--master", default=None, help="spark master (default env/local)")
     c.add_argument("--seed", type=int, default=42)
+
+    g = sub.add_parser(
+        "ingest",
+        help="WARC files -> input_hint pages parquet (the real-corpus "
+             "entry: ingest a Common-Crawl-style segment, then `crawl "
+             "--pages <out> --extractor html`)",
+    )
+    g.add_argument("--warc", required=True, help="WARC path/glob (*.warc[.gz])")
+    g.add_argument("--out", required=True, help="output parquet dir")
+    g.add_argument(
+        "--extractor", choices=("synthetic", "html"), default="html",
+        help="text-extraction kernel for the pages table's text column",
+    )
+    g.add_argument(
+        "--split-bytes", type=int, default=None,
+        help="intra-file parallel scan with ranged reads of ~N-byte "
+             "chunks (read_warc_presplit) instead of one task per file",
+    )
+    g.add_argument("--master", default=None)
+
+    x = sub.add_parser(
+        "index",
+        help="offset index for WARC (gzip members) or ARC (records) -> "
+             "parquet; feeds read_warc_records/read_arc_records random "
+             "access",
+    )
+    x.add_argument("--path", required=True, help="archive path/glob")
+    x.add_argument("--out", required=True, help="output parquet dir")
+    x.add_argument("--format", choices=("warc", "arc"), default="warc")
+    x.add_argument("--master", default=None)
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    if args.cmd == "ingest":
+        from .plans import get_spark
+        from .sources import read_warc, read_warc_presplit
+        from .sources.pages import pages_from_records
+
+        spark = get_spark(app="warc_spark_ingest", master=args.master)
+        records = (
+            read_warc_presplit(spark, args.warc, split_bytes=args.split_bytes)
+            if args.split_bytes
+            else read_warc(spark, args.warc)
+        )
+        pages = pages_from_records(records, extractor=args.extractor)
+        pages.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"pages": n, "out": args.out}))
+        spark.stop()
+        return 0
+    if args.cmd == "index":
+        from .plans import get_spark
+
+        spark = get_spark(app="warc_spark_index", master=args.master)
+        if args.format == "arc":
+            from .sources import index_arc_records as indexer
+        else:
+            from .sources import index_warc_members as indexer
+        idx = indexer(spark, args.path)
+        idx.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"entries": n, "out": args.out}))
+        spark.stop()
+        return 0
     from .operators.frontier import FrontierConfig, FrontierEngine
     from .plans import get_spark
     from .plans.snapstore import SnapStore
@@ -108,7 +181,9 @@ def main(argv: list[str] | None = None) -> int:
             distributed_probe=args.distributed_probe,
             rescue_mode=args.rescue_mode,
             seen_backend=args.seen_backend,
+            bloom_bucket_key=args.bucket_key,
             normalize_links=args.normalize_links,
+            extractor=args.extractor,
         ),
     )
     manifests = eng.run(seeds, resume=args.resume)
