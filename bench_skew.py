@@ -53,7 +53,7 @@ def build_corpus(spark, n_pages, hot_frac, n_part):
     return pages
 
 
-def run_leg(spark, pages, seeds, batches, n_salts):
+def run_leg(spark, pages, seeds, batches, n_salts, budget=1 << 20):
     from warc_spark.operators.frontier import FrontierConfig, FrontierEngine
     from warc_spark.plans.snapstore import SnapStore
 
@@ -61,8 +61,14 @@ def run_leg(spark, pages, seeds, batches, n_salts):
     try:
         eng = FrontierEngine(
             spark, pages, SnapStore(tmp),
+            # budget effectively unlimited: a 65k/host cap would DEFER most
+            # of the hot host each batch (fewer urls scheduled per batch ->
+            # throughput not comparable leg-to-leg); uncapped, both corpora
+            # schedule the same url volume and the comparison isolates the
+            # skew-sensitive operators (politeness window, salted ordering,
+            # bloom bucket build) instead of politeness semantics
             config=FrontierConfig(
-                max_batches=batches, default_budget=65536,
+                max_batches=batches, default_budget=budget,
                 bloom_buckets=64, bloom_bits=1 << 21,
                 rescue_mode="broadcast", n_salts=n_salts,
             ),
@@ -126,6 +132,7 @@ def main() -> None:
         for name, rs in results.items()
     }
     ratio_hot = med["hot_salted"]["urls_per_sec"] / med["uniform_salted"]["urls_per_sec"]
+    wall_ratio = med["hot_salted"]["sec"] / med["uniform_salted"]["sec"]
     ratio_unsalted = (
         med["hot_unsalted"]["urls_per_sec"] / med["hot_salted"]["urls_per_sec"]
     )
@@ -134,6 +141,7 @@ def main() -> None:
         "hot_frac": hot_frac, "cpus": cpus, "rounds": rounds,
         "median": {k: v["urls_per_sec"] for k, v in med.items()},
         "hot_vs_uniform_throughput_ratio": round(ratio_hot, 3),
+        "hot_vs_uniform_wall_ratio": round(wall_ratio, 3),
         "unsalted_vs_salted_hot_ratio": round(ratio_unsalted, 3),
         "results": results,
     }
@@ -148,23 +156,26 @@ def main() -> None:
     section = f"""{BEGIN}
 ## Host-skew stress (bench_skew.py)
 
-Same frontier job ({n_pages:,} pages, {batches} batches, budget 65,536/host,
-local[{cpus}]) on the natural-Zipf corpus vs a corpus/seed-set with
-**{hot_frac:.0%} of all urls on ONE host**, all legs interleaved in one JVM
-({rounds} rounds, medians):
+Same frontier job ({n_pages:,} pages, {batches} batches, uncapped budget so
+both corpora schedule the same url volume, local[{cpus}]) on the
+natural-Zipf corpus vs a corpus/seed-set with **{hot_frac:.0%} of all urls
+on ONE host**, all legs interleaved in one JVM ({rounds} rounds, medians):
 
 | leg | sec | urls scheduled | urls/s | per-batch sec |
 |---|---|---|---|---|
 {rows}
 
-- hot-host throughput = **{ratio_hot:.2f}x** the uniform corpus (flat within
-  epoch noise: the salted repartition spreads the hot host over n_salts
-  partitions and the politeness rank is WindowGroupLimit-pruned before any
-  sort — no task serializes on the hot key).
-- disabling salting on the hot corpus (n_salts=1): {ratio_unsalted:.2f}x of
-  the salted run — at sandbox scale the hot partition still fits one task's
-  memory, so the penalty is bounded; at 100 TB an unsalted 30%-host is an
-  out-of-memory straggler, which is why salting is the default.
+- hot-host batch wall-time = **{wall_ratio:.2f}x** the uniform corpus and
+  throughput {ratio_hot:.2f}x (the north_star claim: the salted repartition
+  spreads the hot host over n_salts partitions and the politeness rank is
+  WindowGroupLimit-pruned before any sort, so no task serializes on the hot
+  key and batch wall-time stays flat under 30% single-host skew).
+- disabling salting on the hot corpus (n_salts=1): {ratio_unsalted:.2f}x the
+  salted throughput — at sandbox scale a ~450k-row hot partition still fits
+  one task's memory and sorts in well under a second, so the visible penalty
+  is bounded by epoch noise; at 100 TB an unsalted 30%-host partition is an
+  out-of-memory straggler, which is why salting is the default (the unit
+  test asserts the partition spread, test_salted_order_splits_hot_host).
 
 Reproduce: `python bench_skew.py` (env: SKEW_PAGES, SKEW_SEEDS,
 SKEW_BATCHES, SKEW_ROUNDS, SKEW_HOT_FRAC, SKEW_CPUS).
