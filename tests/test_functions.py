@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from warc_spark.functions import dedup, similarity, text
+from warc_spark.functions import curation, dedup, similarity, text
 from warc_spark.functions.multimodal import decode_media, frame_sample_stub
 
 
@@ -173,6 +173,97 @@ class TestText:
         text._fnv_hash_kernel(doc)
         fnv = time.perf_counter() - t0
         assert fnv / poly >= 10, (fnv, poly)
+
+
+class TestCuration:
+    """Decontamination / filter-cascade / repetition operators
+    (functions/curation.py)."""
+
+    def test_word_ngrams(self, spark):
+        df = spark.createDataFrame(
+            [(1, "A quick  Brown fox"), (2, "too short")], "id long, text string"
+        )
+        got = {
+            r.id: r.g
+            for r in df.select(
+                "id", curation.word_ngrams(F.col("text"), 3).alias("g")
+            ).collect()
+        }
+        assert got[1] == ["a quick brown", "quick brown fox"]
+        assert got[2] == []  # shorter than n -> empty, not null
+
+    def test_decontaminate(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta extra words here"),
+                (2, "no overlap with anything in the reference"),
+                (3, "ends with alpha beta gamma delta"),
+            ],
+            "doc_id long, text string",
+        )
+        ref = spark.createDataFrame(
+            [(100, "prefix alpha beta gamma delta suffix")], "doc_id long, text string"
+        )
+        bad = {r.doc_id for r in curation.contaminated_ids(corpus, ref, n=4).collect()}
+        assert bad == {1, 3}
+        kept = {r.doc_id for r in curation.ngram_decontaminate(corpus, ref, n=4).collect()}
+        assert kept == {2}
+
+    def test_filter_cascade_reasons(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "short text", "en"),
+                (2, " ".join(["word"] * 30), "zh"),
+                (3, " ".join(["good"] * 30), "en"),
+                (4, " ".join(["p!?.,;:"] * 30), "en"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        out = {r.doc_id: (r.keep, r.reason)
+               for r in curation.quality_filter_cascade(
+                   df, min_tokens=20, langs=("en",)).collect()}
+        assert out[1] == (False, "too_short")
+        assert out[2] == (False, "wrong_lang")
+        assert out[3] == (True, None)
+        assert out[4] == (False, "too_much_punct")
+
+    def test_repetition_stats(self, spark):
+        df = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+        r = curation.repetition_stats(df, n=2).collect()[0]
+        # bigrams: "a a", "a a", "a b"
+        assert (r.n_grams, r.n_distinct) == (3, 2)
+        assert r.dup_ratio == pytest.approx(0.3333, abs=1e-4)
+        assert r.top_share == pytest.approx(0.6667, abs=1e-4)
+
+    def test_pack_sequences_greedy_and_oversize(self, spark):
+        docs = [
+            (0, " ".join(["w"] * 6)),   # 6 tokens
+            (1, " ".join(["w"] * 5)),   # +5 = 11 > 10 -> bin 1
+            (2, " ".join(["w"] * 4)),   # +4 = 9 fits bin 1
+            (3, " ".join(["w"] * 25)),  # oversize: own (overflowing) bin 2
+            (4, " ".join(["w"] * 2)),   # new bin 3
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.doc_id: (r.bin, r.fill)
+               for r in curation.pack_sequences(
+                   df, max_tokens=10, n_shards=1,
+                   shard_col=F.lit(0)).collect()}
+        assert out == {0: (0, 6), 1: (1, 5), 2: (1, 9), 3: (2, 25), 4: (3, 2)}
+
+    def test_pack_sequences_parallelism_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(i, " ".join(["t"] * (3 + i % 7))) for i in range(200)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, curation.pack_sequences(
+            df.repartition(1), 50, n_shards=4).collect()))
+        b = sorted(map(tuple, curation.pack_sequences(
+            df.repartition(16), 50, n_shards=4).collect()))
+        assert a == b
+        # invariants: every doc packed once; bins respect capacity (the
+        # running fill only exceeds it for a single oversize doc)
+        assert len(a) == 200
+        assert all(fill <= 50 for _, _, _, _, fill in a)
 
 
 class TestMultimodalKernels:

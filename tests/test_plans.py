@@ -211,6 +211,30 @@ def test_distributed_probe_copartitioned_join(spark):
     assert len(exchanges) >= 2, p  # both sides partition on the bucket key
 
 
+def test_decontaminate_corpus_side_broadcast_only(spark, sf_dir):
+    """The decontamination joins must both be broadcast (reference grams
+    and contaminated-id set): the corpus side — 100 TB in production —
+    never sort-merge-joins, and its exploded grams never enter a hash
+    exchange."""
+    from warc_spark.queries import queries
+
+    p = plan_of(queries()["doc_decontaminate_agg"](spark, sf_dir))
+    assert "SortMergeJoin" not in p, p
+    assert "ShuffledHashJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_pack_sequences_shuffle_is_slim(spark, sf_dir):
+    """Sequence packing must shuffle only (doc_id, shard, n_tokens) —
+    the document text never enters the exchange (token counts are
+    computed by built-in expressions before the groupBy)."""
+    from warc_spark.queries import queries
+
+    p = plan_of(queries()["doc_pack_sequences"](spark, sf_dir))
+    for b in _node_blocks(p, "Exchange"):
+        assert "text" not in b, b
+
+
 def test_cuckoo_distributed_probe_copartitioned_join(spark):
     """CuckooSeenSet.probe(broadcast=False): same placement contract as
     bloom — the fingerprint state is hash-partitioned on bucket alongside

@@ -1,0 +1,204 @@
+"""Corpus-curation operators for the training-data pipeline: benchmark
+decontamination, filter cascades, repetition profiling.
+
+Everything here is JVM-side built-ins (split/transform/slice/explode +
+joins — whole-stage codegen, zero Python in the hot path), because these
+ops run over the ENTIRE corpus at 100 TB:
+
+- ``ngram_decontaminate``: drop corpus documents sharing any word n-gram
+  with a reference set (eval-benchmark decontamination — the step that
+  keeps test sets out of pretraining data). The reference side (a
+  benchmark suite: thousands of docs vs the corpus's billions) is
+  distinct-aggregated and BROADCAST, so the corpus side never shuffles —
+  the n-gram explosion feeds a broadcast semi-join, map-only end to end.
+- ``quality_filter_cascade``: C4-style keep/drop with a first-failing-
+  reason column — one pass, one ``when`` chain, no UDFs.
+- ``repetition_stats``: per-document duplicated-n-gram profile
+  (top-gram share, distinct ratio) — the fineweb-style repetition
+  filter signals; two-level aggregation with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """array<string> of space-joined word n-grams (lower-cased,
+    whitespace-tokenized). Built-ins only: ``transform(sequence(...))``
+    over ``slice`` — codegen'd, no UDF. Documents shorter than ``n``
+    tokens yield an empty array."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ids of corpus docs sharing >=1 word n-gram with the reference set.
+
+    Plan shape for 100 TB: reference grams -> distinct -> broadcast;
+    corpus grams explode map-side into a broadcast LEFT SEMI join —
+    the corpus never shuffles and the gram explosion never leaves its
+    map task. (Joining on the gram STRING keeps the operator exactly
+    SQL-replayable; at extreme reference sizes swap the join key for
+    ``xxhash64(gram)`` — same plan, 8-byte keys.)"""
+    ref_grams = (
+        reference.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(ref_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus rows that share NO word n-gram with the reference set
+    (the decontaminated survivors); broadcast anti-join against the
+    (small) contaminated-id set, so the corpus still never shuffles."""
+    bad = contaminated_ids(corpus, reference, text_col, n, id_col)
+    return corpus.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def quality_filter_cascade(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 25,
+    max_tokens: int = 100_000,
+    langs: tuple[str, ...] = ("en",),
+    max_punct_ratio: float = 0.2,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Adds ``keep: boolean`` and ``reason: string`` (the FIRST failing
+    rule, C4-style; NULL reason when kept) in one codegen'd pass:
+    too_short | too_long | wrong_lang | too_much_punct. Rules reuse the
+    text-feature expressions (functions/text.py) so the same SQL twins
+    replay them."""
+    from . import text as T
+
+    ntok = T.token_count(F.col(text_col))
+    reason = (
+        F.when(ntok < min_tokens, F.lit("too_short"))
+        .when(ntok > max_tokens, F.lit("too_long"))
+        .when(~F.col(lang_col).isin(*langs), F.lit("wrong_lang"))
+        .when(T.punct_ratio(F.col(text_col)) > max_punct_ratio, F.lit("too_much_punct"))
+    )
+    return df.withColumn("reason", reason).withColumn(
+        "keep", F.col("reason").isNull()
+    )
+
+
+PACK_SCHEMA = "doc_id long, shard int, bin bigint, n_tokens bigint, fill bigint"
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Greedy sequence packing for pretraining batch assembly: assign
+    each document to a fixed-capacity token bin
+    ``(doc_id, shard, bin, n_tokens, fill)``.
+
+    Deterministic AND distributed: documents shard by id (default
+    ``pmod(id, n_shards)``; pass ``shard_col`` for e.g. a hash shard),
+    each shard packs independently in id order with first-fit-sequential
+    greedy (new bin when the next doc would overflow; a doc longer than
+    the capacity gets its own overflowing bin rather than being dropped).
+    First-fit-DECREASING would pack ~10% tighter but is order-unstable
+    under re-partitioning; id-order greedy reproduces bit-for-bit at any
+    parallelism — the property a resumable training data loader needs.
+
+    Scale shape: token counts are computed with the built-in expression
+    BEFORE the shuffle, so only (id, shard, n_tokens) moves — the text
+    never enters the exchange; the per-shard kernel is O(docs) with one
+    integer accumulator."""
+    import pandas as pd
+
+    from .text import token_count
+
+    shard = (
+        shard_col if shard_col is not None
+        else F.pmod(F.col(id_col), F.lit(n_shards))
+    ).cast("int")
+    slim = df.select(
+        F.col(id_col).alias("doc_id"),
+        shard.alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        cur_bin, cur_fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if cur_fill and cur_fill + n > max_tokens:
+                cur_bin += 1
+                cur_fill = 0
+            cur_fill += n
+            bins.append(cur_bin)
+            fills.append(cur_fill)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        pdf["fill"] = pd.Series(fills, dtype="int64")
+        return pdf[["doc_id", "shard", "bin", "n_tokens", "fill"]]
+
+    return slim.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition profile over word n-grams:
+    ``(id, n_grams, n_distinct, dup_ratio, top_share)`` where
+    ``dup_ratio`` = fraction of gram occurrences that repeat an earlier
+    one and ``top_share`` = the most frequent gram's share — the
+    standard repetition-filter signals. Two-level aggregation: the
+    per-(id, gram) count combines map-side before the only shuffle."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("_top"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 4).alias("dup_ratio"),
+            F.round(F.col("_top") / F.col("n_grams"), 4).alias("top_share"),
+        )
+    )

@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import dedup, similarity, text
+from .functions import curation, dedup, similarity, text
 from .functions.multimodal import decode_media
 from .sources import parse_warc_column, synth_pages
 
@@ -907,6 +907,153 @@ def doc_html_links_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(links).alias("link"))
         .orderBy("doc_id", "link")
     )
+
+
+@register(
+    "doc_decontaminate_agg",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    ng AS (
+      SELECT doc_id, source, array_to_string(t[i.g:i.g+3], ' ') AS g
+      FROM tok, (SELECT unnest(range(1, 2000)) AS g) i
+      WHERE i.g + 3 <= len(t)),
+    ref AS (SELECT DISTINCT g FROM ng WHERE source = 'src0'),
+    bad AS (SELECT DISTINCT doc_id FROM ng
+            WHERE source <> 'src0' AND g IN (SELECT g FROM ref))
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_survivors
+    FROM documents WHERE source <> 'src0'
+    GROUP BY source ORDER BY source
+    """,
+)
+def doc_decontaminate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/curation.py): per source, how
+    many docs share a word 4-gram with the src0 reference set and how
+    many survive. The reference grams broadcast; the corpus never
+    shuffles (explode feeds a broadcast semi-join, map-only). Oracle
+    replays the identical tokenization + n-gram join in SQL."""
+    d = t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src0")
+    corp = d.filter(F.col("source") != "src0")
+    bad = curation.contaminated_ids(corp, ref, n=4).withColumn("_bad", F.lit(1))
+    return (
+        corp.join(F.broadcast(bad), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+            F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0)).alias(
+                "n_survivors"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_filter_cascade_agg",
+    oracle=r"""
+    WITH f AS (
+      SELECT lang,
+             array_length(regexp_split_to_array(trim(text), '\s+')) AS ntok,
+             ROUND(CAST(length(regexp_replace(text,'[^.,;:!?]','','g')) AS DOUBLE)
+                   / length(text), 4) AS pr
+      FROM documents)
+    SELECT CASE WHEN ntok < 25 THEN 'too_short'
+                WHEN ntok > 100000 THEN 'too_long'
+                WHEN lang NOT IN ('en','de') THEN 'wrong_lang'
+                WHEN pr > 0.2 THEN 'too_much_punct'
+                ELSE 'kept' END AS reason,
+           COUNT(*) AS n
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+)
+def doc_filter_cascade_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality filter cascade (functions/curation.py): keep/drop
+    with a first-failing-reason column, one codegen'd pass; drop-reason
+    histogram checked against the same rule chain in SQL."""
+    d = t(spark, sf_dir, "documents")
+    out = curation.quality_filter_cascade(
+        d, min_tokens=25, max_tokens=100_000, langs=("en", "de")
+    )
+    return (
+        out.groupBy(F.coalesce(F.col("reason"), F.lit("kept")).alias("reason"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("reason")
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    ng AS (
+      SELECT doc_id, array_to_string(t[i.g:i.g+1], ' ') AS g
+      FROM tok, (SELECT unnest(range(1, 2000)) AS g) i
+      WHERE i.g + 1 <= len(t)),
+    pg AS (SELECT doc_id, g, COUNT(*) AS c FROM ng GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_distinct,
+           ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_ratio,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_share
+    FROM pg GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile over word bigrams
+    (functions/curation.py): duplicated-gram ratio + top-gram share —
+    the fineweb-style repetition-filter signals, two-level agg with
+    map-side partials. Oracle rebuilds the bigrams and both ratios in
+    SQL."""
+    d = t(spark, sf_dir, "documents")
+    return curation.repetition_stats(d, n=2).orderBy("doc_id")
+
+
+@register(
+    "doc_pack_sequences",
+    oracle=r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+             CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    ord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM tok),
+    packed AS (
+      SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+             n_tokens AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.fill + o.n_tokens <= 256 THEN p.bin ELSE p.bin + 1 END,
+             CASE WHEN p.fill + o.n_tokens <= 256 THEN p.fill + o.n_tokens
+                  ELSE o.n_tokens END
+      FROM packed p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+    SELECT doc_id, shard, bin, n_tokens, fill FROM packed ORDER BY doc_id
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (functions/curation.py): documents into
+    256-token bins, sharded 8 ways, deterministic at any parallelism.
+    Only (id, shard, n_tokens) crosses the exchange — the text never
+    shuffles. The DuckDB oracle replays the identical first-fit greedy
+    with a recursive CTE, so every (doc -> bin) assignment and running
+    fill must match bit-for-bit."""
+    d = t(spark, sf_dir, "documents")
+    return curation.pack_sequences(
+        d, max_tokens=256, n_shards=8,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(8)),
+    ).orderBy("doc_id")
 
 
 # =========================================================================
