@@ -209,6 +209,32 @@ class TestCuration:
         kept = {r.doc_id for r in curation.ngram_decontaminate(corpus, ref, n=4).collect()}
         assert kept == {2}
 
+    def test_fuzzy_contaminated_ids(self, spark):
+        ref = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog tonight ok")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # paraphrase: one word changed -> high but < 1.0 jaccard
+                (1, "the quick brown fox jumps over the lazy dog today ok"),
+                (2, "completely different text about distributed query engines"),
+                (3, "the quick brown fox jumps over the lazy dog tonight ok"),
+            ],
+            "doc_id long, text string",
+        )
+        # 32 bands x 2 rows: P(catch) at jaccard ~0.64 is 1 - 6e-8 — the
+        # paraphrase must be found (16x4 would miss ~6% of seeds there)
+        out = {
+            r.doc_id: r.max_jaccard
+            for r in curation.fuzzy_contaminated_ids(
+                corpus, ref, n_hashes=64, bands=32, jaccard_threshold=0.4
+            ).collect()
+        }
+        assert out.get(3) == 1.0          # exact copy
+        assert 1 in out and 0.4 <= out[1] < 1.0  # paraphrase caught
+        assert 2 not in out
+
     def test_filter_cascade_reasons(self, spark):
         df = spark.createDataFrame(
             [

@@ -82,6 +82,73 @@ def ngram_decontaminate(
     return corpus.join(F.broadcast(bad), id_col, "left_anti")
 
 
+def fuzzy_contaminated_ids(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """``(id, max_jaccard)`` for corpus docs whose shingle-set Jaccard
+    vs ANY reference doc >= threshold — FUZZY benchmark decontamination
+    (catches paraphrased / lightly-edited eval contamination that exact
+    n-gram overlap misses).
+
+    Same banded MinHash as ``dedup.minhash_lsh_pairs`` but a TWO-TABLE
+    join: the reference's banded signature table (a benchmark suite —
+    tiny next to the corpus) BROADCASTS, so the corpus side is map-only
+    through candidate generation and only the (small) candidate-pair set
+    ever aggregates. Candidates verify with the exact Jaccard kernel, so
+    the result is banding-loss-free at the threshold (the same guarantee
+    the self-join dedup carries, proven by its brute-force oracle)."""
+    from .dedup import jaccard_udf, minhash_signature_udf
+
+    rows_per_band = n_hashes // bands
+    sig_udf = minhash_signature_udf(n_hashes, shingle, seed)
+
+    def banded(df: DataFrame, label: str) -> DataFrame:
+        sig = df.select(
+            F.col(id_col).alias(f"{label}_id"),
+            sig_udf(F.col(text_col)).alias("_sig"),
+        )
+        return sig.select(
+            f"{label}_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.slice(
+                            F.col("_sig"), b * rows_per_band + 1, rows_per_band
+                        ).cast("string"),
+                        b,
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
+    cand = (
+        banded(corpus, "c")
+        .join(F.broadcast(banded(reference, "r")), ["band", "bucket"])
+        .select("c_id", "r_id")
+        .dropDuplicates(["c_id", "r_id"])
+    )
+    ctext = corpus.select(F.col(id_col).alias("c_id"), F.col(text_col).alias("_ct"))
+    rtext = reference.select(F.col(id_col).alias("r_id"), F.col(text_col).alias("_rt"))
+    jac = jaccard_udf(shingle)
+    verified = (
+        ctext.join(F.broadcast(cand), "c_id")  # corpus scan-side, never shuffled
+        .join(F.broadcast(rtext), "r_id")
+        .withColumn("jaccard", F.round(jac("_ct", "_rt"), 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified.groupBy(F.col("c_id").alias(id_col)).agg(
+        F.max("jaccard").alias("max_jaccard")
+    )
+
+
 def quality_filter_cascade(
     df: DataFrame,
     text_col: str = "text",

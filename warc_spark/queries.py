@@ -1020,6 +1020,43 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_fuzzy_decontaminate",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS grams
+      FROM (SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id,
+             ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / (len(a.grams) + len(b.grams)
+                      - len(list_intersect(a.grams, b.grams))), 4) AS j
+      FROM sh a JOIN sh b ON a.source <> 'src0' AND b.source = 'src0')
+    SELECT doc_id, MAX(j) AS max_jaccard FROM pairs
+    WHERE j >= 0.5 GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (functions/curation.py): corpus
+    docs whose shingle-set Jaccard vs ANY src0 reference doc >= 0.5, via
+    cross-corpus banded MinHash with broadcast reference signatures (the
+    corpus never shuffles) and exact-Jaccard verification. Oracle is the
+    brute-force all-cross-pairs Jaccard — equality proves the two-table
+    banding loses no contaminated doc at the threshold."""
+    d = t(spark, sf_dir, "documents")
+    out = curation.fuzzy_contaminated_ids(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n_hashes=64, bands=16, shingle=3, jaccard_threshold=0.5,
+    )
+    return out.orderBy("doc_id")
+
+
+@register(
     "doc_pack_sequences",
     oracle=r"""
     WITH RECURSIVE tok AS (
