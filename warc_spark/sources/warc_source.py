@@ -281,8 +281,16 @@ def read_warc_presplit(
     global compressed offset and ``record_index`` continues across splits
     (valid under the reference's member-per-record framing,
     warc/gzip2.py:1-13). Pass a persisted ``index`` (from
-    ``index_warc_members``) to amortize the index pass across scans."""
-    idx = index if index is not None else index_warc_members(spark, path)
+    ``index_warc_members``/``index_warc_members_streamed``) to amortize
+    the index pass across scans; without one, the index is built with the
+    STREAMED indexer (O(chunk) memory per file; the binaryFile listing
+    projects only ``path``, so file contents never materialize in either
+    pass)."""
+    if index is not None:
+        idx = index
+    else:
+        paths = spark.read.format("binaryFile").load(path).select("path")
+        idx = index_warc_members_streamed(spark, paths)
     splits = plan_warc_splits(idx, split_bytes)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
