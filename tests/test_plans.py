@@ -222,6 +222,13 @@ def test_decontaminate_corpus_side_broadcast_only(spark, sf_dir):
     assert "SortMergeJoin" not in p, p
     assert "ShuffledHashJoin" not in p, p
     assert p.count("BroadcastHashJoin") >= 2, p
+    # the fuzzy (MinHash) variant carries the same placement contract:
+    # reference signatures broadcast, candidates verified via broadcast
+    # joins — the corpus side never joins by shuffle
+    pf = plan_of(queries()["doc_fuzzy_decontaminate"](spark, sf_dir))
+    assert "SortMergeJoin" not in pf, pf
+    assert "ShuffledHashJoin" not in pf, pf
+    assert pf.count("BroadcastHashJoin") >= 3, pf
 
 
 def test_pack_sequences_shuffle_is_slim(spark, sf_dir):
