@@ -418,10 +418,20 @@ def test_arc_random_access_by_offset_index(spark, tmp_path):
     ).collect()
     gidx = index_arc_records(spark, os.path.join(out_gz, "*.arc.gz"))
     assert gidx.count() == 10
-    whole = gidx.dropDuplicates(["path", "offset"])  # one member = all records
-    assert whole.count() == 1
-    gall = read_arc_records(spark, whole.drop("record_index")).collect()
+    # all 10 index rows address the SAME member; read_arc_records must
+    # fetch the member once, not once per row (ADVICE r3: feeding the
+    # index straight in used to return NxN duplicated records), and the
+    # emitted record_index must stay the per-file ordinal
+    gall = read_arc_records(spark, gidx).collect()
+    assert len(gall) == 10
     assert {(r.url, bytes(r.payload)) for r in gall} == expect
+    assert sorted(r.record_index for r in gall) == list(range(10))
+    by_ordinal = {r.record_index: r.url for r in gall}
+    ref_gz = {
+        r.record_index: r.url
+        for r in read_arc(spark, os.path.join(out_gz, "*.arc.gz")).collect()
+    }
+    assert by_ordinal == ref_gz
 
 
 def test_pages_from_records_feeds_frontier(spark, tmp_path):

@@ -103,8 +103,16 @@ def fuzzy_contaminated_ids(
     tiny next to the corpus) BROADCASTS, so the corpus side is map-only
     through candidate generation and only the (small) candidate-pair set
     ever aggregates. Candidates verify with the exact Jaccard kernel, so
-    the result is banding-loss-free at the threshold (the same guarantee
-    the self-join dedup carries, proven by its brute-force oracle)."""
+    every SURFACED pair's jaccard is exact (zero false positives).
+
+    Recall is PROBABILISTIC (banding loss): a pair with true Jaccard ``s``
+    becomes a candidate with probability ``1 - (1 - s^r)^b`` where
+    ``r = n_hashes // bands`` rows per band and ``b = bands``. At the
+    defaults (b=16, r=4) that is ~0.64 at s=0.5 and ~0.995 at s=0.8 —
+    near-threshold contamination CAN slip through. For a harder recall
+    floor at the threshold, raise ``bands`` (lower r) or ``n_hashes``;
+    e.g. b=32, r=2 gives ~0.93 at s=0.5. The driver oracle proves exact
+    recall only on its synthetic corpus (ADVICE r3, medium)."""
     from .dedup import jaccard_udf, minhash_signature_udf
 
     rows_per_band = n_hashes // bands

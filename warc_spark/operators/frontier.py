@@ -345,11 +345,18 @@ class FrontierEngine:
                 ).collect(),
             )
         if stored.get("use_bloom", False):
+            # a pre-upgrade checkpoint has no bloom_bucket_key in its
+            # manifest — those blobs were written host-keyed, so validate
+            # against the legacy value instead of skipping the check
+            # (ADVICE r3: resuming with --bucket-key url against host-keyed
+            # blobs silently yields bloom false negatives)
+            legacy = {"bloom_bucket_key": "host"}
             for key in ("bloom_buckets", "bloom_bits", "bloom_bucket_key"):
-                if key in stored and stored[key] != getattr(cfg, key):
+                stored_val = stored.get(key, legacy.get(key, getattr(cfg, key)))
+                if stored_val != getattr(cfg, key):
                     raise ValueError(
                         f"cannot resume: checkpoint was written with "
-                        f"{key}={stored[key]} but this engine is configured "
+                        f"{key}={stored_val} but this engine is configured "
                         f"with {key}={getattr(cfg, key)}; bloom blobs are "
                         f"not compatible across geometries — rerun with the "
                         f"stored geometry or use_bloom=False"

@@ -275,27 +275,10 @@ def orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "customers_without_orders",
-    oracle="""
-    SELECT n.n_name AS nation, COUNT(*) AS n_customers
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY n.n_name
-    """,
-)
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join — the URL-seen-set exact-dedup primitive (SURVEY §2.B E4)."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
-    n = t(spark, sf_dir, "nation")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
-        .groupBy(n.n_name.alias("nation"))
-        .agg(F.count("*").alias("n_customers"))
-    )
-
+# (r4: the former customers_without_orders entry was retired — it returned
+# 0 rows on the dense gate data and its left-anti shape is oracled under a
+# stronger harness in q22_idle_customers; registry must fit the driver's
+# 50-query window, VERDICT r3 #2.)
 
 @register(
     "events_sessionized",
@@ -376,63 +359,40 @@ def politeness_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 @register(
-    "doc_lang_histogram",
-    oracle="""
-    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents GROUP BY lang
-    """,
-)
-def doc_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
-        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
-    )
-
-
-@register(
     "doc_token_stats",
-    oracle="""
-    SELECT lang,
-           COUNT(*) AS n_docs,
-           CAST(SUM(array_length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
-           CAST(MIN(array_length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS min_tokens,
-           CAST(MAX(array_length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS max_tokens
-    FROM documents GROUP BY lang
-    """,
-)
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    n = text.token_count(F.col("text"))
-    return d.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(n).alias("total_tokens"),
-        F.min(n).alias("min_tokens"),
-        F.max(n).alias("max_tokens"),
-    )
-
-
-@register(
-    "doc_bpe_token_stats",
     oracle=r"""
     SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(array_length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+           CAST(MIN(array_length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS min_tokens,
+           CAST(MAX(array_length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS max_tokens,
            CAST(SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS total_bpe_tokens,
            ROUND(AVG(CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS DOUBLE)
                      / len(regexp_split_to_array(trim(text), '\s+'))), 6) AS bpe_per_word
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
-def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-style pre-tokenizer counts per lang (LLM data-budget
-    accounting): total subword-ish tokens and tokens-per-word ratio. The
-    oracle evaluates the byte-identical regex in DuckDB/RE2."""
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang corpus accounting in one pass (LLM data-budget view):
+    doc/char histogram, whitespace-token stats, and BPE-style pre-tokenizer
+    counts (the byte-identical regex is evaluated in DuckDB/RE2 too).
+    Absorbs r1-r3's doc_lang_histogram and doc_bpe_token_stats so the
+    driver's 50-query correctness window covers every registered query
+    (VERDICT r3 #2)."""
     d = t(spark, sf_dir, "documents")
+    n = text.token_count(F.col("text"))
     bpe = text.bpe_token_count(F.col("text"))
-    words = text.token_count(F.col("text"))
     return (
         d.groupBy("lang")
         .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(n).alias("total_tokens"),
+            F.min(n).alias("min_tokens"),
+            F.max(n).alias("max_tokens"),
             F.sum(bpe).alias("total_bpe_tokens"),
-            F.round(F.avg(bpe.cast("double") / words), 6).alias("bpe_per_word"),
+            F.round(F.avg(bpe.cast("double") / n), 6).alias("bpe_per_word"),
         )
         .orderBy("lang")
     )
@@ -440,17 +400,32 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_quality_features",
-    oracle="""
-    SELECT doc_id,
-           length(text) AS len_chars,
-           array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-           ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-                 / length(text), 4) AS punct_ratio,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
-    FROM documents
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS len_chars,
+             array_length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                   / length(text), 4) AS punct_ratio,
+             ROUND(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),
+                                        t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(lower(text)),'\s+')), 4) AS sr,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents)
+    SELECT doc_id, len_chars, n_tokens, punct_ratio, fingerprint,
+           ROUND(CASE WHEN len_chars BETWEEN 100 AND 20000 THEN 0.4
+                      WHEN len_chars > 0 THEN 0.1 ELSE 0 END
+                 + CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0 END
+                 + CASE WHEN sr >= 0.01 THEN 0.3 ELSE 0 END, 2) AS quality
+    FROM f
     """,
 )
 def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + the composite quality score (the
+    filtering knob of a training-data pipeline: length band + punctuation
+    sanity + stopword presence). The oracle recomputes the whole rubric in
+    SQL per document — a strictly stronger check than r1-r3's separate
+    per-lang histogram, which this absorbs (VERDICT r3 #2)."""
     d = t(spark, sf_dir, "documents")
     c = F.col("text")
     return d.select(
@@ -459,39 +434,7 @@ def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.token_count(c).alias("n_tokens"),
         text.punct_ratio(c).alias("punct_ratio"),
         text.normalized_fingerprint(c).alias("fingerprint"),
-    )
-
-
-@register(
-    "doc_quality_histogram",
-    oracle=r"""
-    WITH f AS (
-      SELECT lang,
-        length(text) AS n,
-        ROUND(CAST(length(regexp_replace(text,'[^.,;:!?]','','g')) AS DOUBLE)
-              / length(text), 4) AS pr,
-        ROUND(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),
-                                   t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
-              / len(regexp_split_to_array(trim(lower(text)),'\s+')), 4) AS sr
-      FROM documents)
-    SELECT lang,
-           ROUND(CASE WHEN n BETWEEN 100 AND 20000 THEN 0.4
-                      WHEN n > 0 THEN 0.1 ELSE 0 END
-                 + CASE WHEN pr <= 0.2 THEN 0.3 ELSE 0 END
-                 + CASE WHEN sr >= 0.01 THEN 0.3 ELSE 0 END, 2) AS quality,
-           COUNT(*) AS n_docs
-    FROM f GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-)
-def doc_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality-score histogram per lang (the filtering knob of a
-    training-data pipeline): length band + punctuation sanity + stopword
-    presence. The oracle recomputes the full scoring rubric in SQL."""
-    d = t(spark, sf_dir, "documents")
-    return (
-        d.groupBy("lang", text.quality_score(F.col("text")).alias("quality"))
-        .agg(F.count("*").alias("n_docs"))
-        .orderBy("lang", "quality")
+        text.quality_score(c).alias("quality"),
     )
 
 
@@ -514,22 +457,9 @@ def doc_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_fingerprint_sources",
-    oracle="""
-    SELECT source,
-           COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS n_fingerprints,
-           COUNT(*) AS n_docs
-    FROM documents GROUP BY source
-    """,
-)
-def doc_fingerprint_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    return d.groupBy("source").agg(
-        F.countDistinct(text.normalized_fingerprint(F.col("text"))).alias("n_fingerprints"),
-        F.count("*").alias("n_docs"),
-    )
-
+# (r4: the former doc_fingerprint_sources entry was retired —
+# normalized_fingerprint is oracled per-doc in doc_quality_features and the
+# per-source set arithmetic is oracled in doc_source_overlap; VERDICT r3 #2.)
 
 @register(
     "doc_top5_longest_per_lang",
@@ -735,64 +665,46 @@ def doc_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_rolling_fingerprints",
-    oracle=r"""
-    SELECT doc_id,
-      CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-                THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp64
-    FROM (
-      SELECT doc_id,
-        list_reduce(
-          list_prepend(14695981039346656037::HUGEINT,
-            list_transform(str_split(text,''), c -> unicode(c)::HUGEINT)),
-          (h, v) -> (CAST(xor(CAST(h AS UBIGINT), CAST(v AS UBIGINT)) AS HUGEINT)
-                     * 1099511628211) % 18446744073709551616::HUGEINT
-        ) AS h
-      FROM documents)
-    ORDER BY doc_id
-    """,
-)
-def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FNV-1a 64-bit rolling fingerprint per doc (the COMPAT kernel).
-    Oracle reduces the same polynomial over the code points in SQL (docs
-    are ASCII so code point == utf-8 byte; the kernel hashes utf-8
-    bytes)."""
-    d = t(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "doc_id",
-            text.rolling_hash_udf(F.col("text"), compat=True).alias("fp64"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
     "doc_poly_fingerprints",
     oracle=r"""
     SELECT doc_id,
       CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-                THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp64
+                THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp64,
+      CAST(CASE WHEN hc >= 9223372036854775808::HUGEINT
+                THEN hc - 18446744073709551616::HUGEINT ELSE hc END AS BIGINT) AS fp64_compat
     FROM (
       SELECT doc_id,
         list_reduce(
           list_prepend(14695981039346656037::HUGEINT,
             list_transform(str_split(text,''), c -> unicode(c)::HUGEINT)),
           (h, v) -> (h * 1099511628211 + v) % 18446744073709551616::HUGEINT
-        ) AS h
+        ) AS h,
+        list_reduce(
+          list_prepend(14695981039346656037::HUGEINT,
+            list_transform(str_split(text,''), c -> unicode(c)::HUGEINT)),
+          (h, v) -> (CAST(xor(CAST(h AS UBIGINT), CAST(v AS UBIGINT)) AS HUGEINT)
+                     * 1099511628211) % 18446744073709551616::HUGEINT
+        ) AS hc
       FROM documents)
     ORDER BY doc_id
     """,
 )
 def doc_poly_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial 64-bit rolling fingerprint per doc — the DEFAULT,
-    vectorized kernel (mul/add Horner recurrence, no xor, so the whole
-    document hashes as one numpy multiply-sum against a power table;
-    VERDICT r2 #5). Oracle replays the identical recurrence
-    ``h = h*B + byte mod 2^64`` in DuckDB."""
+    """Both 64-bit rolling document fingerprints in one oracled pass:
+    ``fp64`` is the DEFAULT vectorized polynomial kernel (mul/add Horner
+    recurrence, no xor, so the whole document hashes as one numpy
+    multiply-sum against a power table; VERDICT r2 #5) and ``fp64_compat``
+    is the FNV-1a compat kernel (per-byte xor-then-mul). The oracle
+    replays both recurrences over the code points in DuckDB (docs are
+    ASCII so code point == utf-8 byte; the kernels hash utf-8 bytes).
+    Absorbs r1-r3's doc_rolling_fingerprints entry (VERDICT r3 #2)."""
     d = t(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", text.rolling_hash_udf(F.col("text")).alias("fp64"))
+        d.select(
+            "doc_id",
+            text.rolling_hash_udf(F.col("text")).alias("fp64"),
+            text.rolling_hash_udf(F.col("text"), compat=True).alias("fp64_compat"),
+        )
         .orderBy("doc_id")
     )
 
@@ -801,8 +713,8 @@ def doc_poly_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_html_extract_agg",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS n_verified,
-           SUM(LENGTH('doc ' || doc_id || chr(10) || text || chr(10)
-                      || '© 2026 <corp>')) AS sum_chars
+           CAST(SUM(LENGTH('doc ' || doc_id || chr(10) || text || chr(10)
+                      || chr(169) || ' 2026 <corp>')) AS BIGINT) AS sum_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -1097,21 +1009,9 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embeddings: similarity search
 # =========================================================================
 
-@register(
-    "emb_label_norms",
-    oracle="""
-    SELECT label, COUNT(*) AS n,
-           ROUND(SUM(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)), 4) AS sum_norm
-    FROM embeddings GROUP BY label
-    """,
-)
-def emb_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
-    norm = F.round(similarity.norm_expr(F.col("embedding")), 6)
-    return e.groupBy("label").agg(
-        F.count("*").alias("n"), F.round(F.sum(norm), 4).alias("sum_norm")
-    )
-
+# (r4: the former emb_label_norms entry was retired — norm_expr is
+# oracle-exercised inside emb_cosine_top10/emb_near_dup_pairs, and the
+# registry must fit the driver's 50-query window; VERDICT r3 #2.)
 
 @register(
     "emb_cosine_top10",
@@ -1215,13 +1115,12 @@ def warc_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("warc_files_roundtrip_agg")
-def warc_files_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _warc_files_roundtrip(spark: SparkSession) -> DataFrame:
     """WARC FILE round trip through the distributed sink and scan:
     synth pages -> write_warc (member-per-record gzip parts) -> read_warc
     -> pages_from_records -> per-row identity vs the original corpus
     (url, byte-identical html, text). Self-verifying: n_verified must
-    equal n_pages. Exercises the sink, the multi-file scan, and the
+    equal n_records. Exercises the sink, the multi-file scan, and the
     ingest bridge in one driver-checked pass."""
     import tempfile
 
@@ -1237,7 +1136,8 @@ def warc_files_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = pages_from_records(read_warc(spark, f"{out}/*.warc.gz"))
     joined = pages.alias("a").join(back.alias("b"), "url", "inner")
     return joined.agg(
-        F.count("*").alias("n_pages"),
+        F.lit("warc").alias("format"),
+        F.count("*").alias("n_records"),
         F.sum(
             F.when(
                 (F.col("a.html") == F.col("b.html"))
@@ -1249,13 +1149,13 @@ def warc_files_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("arc_roundtrip_agg")
-def arc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _arc_roundtrip(spark: SparkSession) -> DataFrame:
     """ARC engine path (SURVEY §2.A S10-S12/K5-K6): bucket synthetic pages
     into ARC v2 files, serialize each file with the byte-exact kernel
     (injected date — the reference's utcnow made deterministic), parse it
     back with the auto-detecting reader, and verify url + payload identity
-    per record. Distributed: one applyInPandas group per ARC file."""
+    per record (the v2 file-header version must parse back too).
+    Distributed: one applyInPandas group per ARC file."""
     import datetime as _dt
 
     import pandas as pd
@@ -1319,11 +1219,24 @@ def arc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_file.agg(
-        F.count("*").alias("n_files"),
-        F.min("arc_version").alias("arc_version"),
+        F.lit("arc").alias("format"),
         F.sum("n_records").alias("n_records"),
-        F.sum("n_verified").alias("n_verified"),
+        F.sum(
+            F.when(F.col("arc_version") == 2, F.col("n_verified")).otherwise(0)
+        ).alias("n_verified"),
     )
+
+
+@register("archive_roundtrip_agg")
+def archive_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact round trips for BOTH archive formats in one
+    driver-checked pass (one row per format; n_verified must equal
+    n_records on each): the WARC leg goes disk-through (distributed gzip
+    member-per-record sink -> multi-file scan -> ingest bridge), the ARC
+    leg serializes+reparses v2 files per applyInPandas group. Merges
+    r1-r3's warc_files_roundtrip_agg and arc_roundtrip_agg so the driver's
+    50-query window covers everything (VERDICT r3 #2)."""
+    return _warc_files_roundtrip(spark).unionByName(_arc_roundtrip(spark))
 
 
 @register(
@@ -2015,9 +1928,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: global scalar aggregate as a filter (broadcast
     scalar) + NOT EXISTS decorrelated to a left-anti join, grouped by a
-    substring key. Note: like customers_without_orders this can return 0
-    rows on dense order data — the shape (anti-join under a scalar
-    subquery filter) is what is exercised."""
+    substring key. Note: an anti-join against dense order data can return
+    0 rows — the shape (anti-join under a scalar subquery filter) is what
+    is exercised."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     avg_bal = (
@@ -2037,9 +1950,41 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's correctness gate checks the FIRST 50 registry entries
+# (VERDICT r3 #2), so emission order is part of the contract: queries that
+# are NEW or CHANGED this round go first, so a partial window always covers
+# the code that actually moved. Names not listed here follow in source
+# (insertion) order. Keep the registry <=50 total.
+_CHANGED_FIRST = [
+    # new in r4
+    "warc_http_split_agg",
+    # changed in r4 (oracle fix / merged entries / recall columns)
+    "doc_html_extract_agg",
+    "doc_token_stats",
+    "doc_quality_features",
+    "doc_poly_fingerprints",
+    "archive_roundtrip_agg",
+    "emb_ann_lsh_top10",
+    "emb_ann_ivf_top10",
+    # never driver-checked before r4 (registered past the r3 window)
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "q16_suppliers_per_brand",
+    "q17_small_quantity_revenue",
+    "q22_idle_customers",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = {k: d[k] for k in _CHANGED_FIRST if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_REGISTRY)
+    return _ordered(_REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)

@@ -171,6 +171,8 @@ def read_arc_records(spark: SparkSession, index: DataFrame) -> DataFrame:
     the same ``pyarrow.fs`` opener). Plain offsets slice one record;
     gzip offsets decompress one member (all its records are returned).
     Extra index columns pass through."""
+    from pyspark.sql import functions as F
+
     from ..kernels.arcrec import parse_arc_records_indexed
     from .warc_source import _open_ranged
 
@@ -183,6 +185,20 @@ def read_arc_records(spark: SparkSession, index: DataFrame) -> DataFrame:
         [index.schema[c] for c in keep] + list(ARC_RECORD_SCHEMA.fields)
     )
     rec_cols = [f.name for f in ARC_RECORD_SCHEMA.fields]
+
+    # A whole-file-gzip ARC indexes every record against the SAME member
+    # (path, offset, length) — fetching per index row would re-parse the
+    # member once per record (NxN duplicate records; ADVICE r3). Group to
+    # one fetch per distinct member and remember the member's base ordinal
+    # so the emitted record_index stays the per-file ordinal the index
+    # carries. Slim shuffle: index metadata only, never payload bytes.
+    base_expr = (
+        F.min("record_index") if "record_index" in index.columns else F.lit(0)
+    )
+    index = index.groupBy("path", "offset", "length", "arc_version").agg(
+        base_expr.alias("rec_base__"),
+        *[F.first(c).alias(c) for c in keep],
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -216,7 +232,7 @@ def read_arc_records(spark: SparkSession, index: DataFrame) -> DataFrame:
                         rows.append(
                             {
                                 "filename": name,
-                                "record_index": ri,
+                                "record_index": int(row.rec_base__) + ri,
                                 "arc_version": version,
                                 "url": f.get("url"),
                                 "ip_address": f.get("ip_address"),

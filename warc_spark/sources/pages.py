@@ -220,19 +220,32 @@ _TEXT_RE = r"<p>(.*?)</p>"
 _HREF_RE = r'href="([^"]+)"'
 
 
+def _nullsafe(s: pd.Series) -> pd.Series:
+    """Missing (NaN from object .str ops, pd.NA from string dtype) -> None,
+    object dtype. pd.NA in particular breaks Spark's Arrow conversion for
+    array<string> output columns ('NAType' object is not iterable), so every
+    kernel result that crosses back to Spark goes through this."""
+    return s.astype(object).where(s.notna(), None)
+
+
 def extract_text_kernel(html: pd.Series) -> pd.Series:
     """html (WARC record bytes) -> extracted text. Byte-identical to the
-    ``text`` column for generated pages (BASELINE.json per-row invariant)."""
-    s = html.map(lambda b: bytes(b).decode("latin-1"))
+    ``text`` column for generated pages (BASELINE.json per-row invariant).
+    Null/unframed html yields null text (ADVICE r3, high)."""
+    s = html.map(
+        lambda b: bytes(b).decode("latin-1") if b is not None else None
+    ).astype("string")
     body = s.str.split("\r\n\r\n", n=2).str[2]  # after WARC hdr + HTTP hdr
-    return body.str.extract(_TEXT_RE, expand=False)
+    return _nullsafe(body.str.extract(_TEXT_RE, expand=False))
 
 
 def extract_links_kernel(html: pd.Series) -> pd.Series:
     """html -> list<string> of out-link urls."""
-    s = html.map(lambda b: bytes(b).decode("latin-1"))
+    s = html.map(
+        lambda b: bytes(b).decode("latin-1") if b is not None else None
+    ).astype("string")
     body = s.str.split("\r\n\r\n", n=2).str[2]
-    return body.str.findall(_HREF_RE)
+    return _nullsafe(body.str.findall(_HREF_RE))
 
 
 def extract_page_kernel(html: pd.Series) -> pd.DataFrame:
@@ -241,12 +254,14 @@ def extract_page_kernel(html: pd.Series) -> pd.DataFrame:
     at 100 TB the html transfer dominates, so this halves the fetch-path
     Python I/O vs separate links/text UDFs. Null html (fetch miss) yields
     null links/text."""
-    s = html.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
+    s = html.map(
+        lambda b: bytes(b).decode("latin-1") if b is not None else None
+    ).astype("string")
     body = s.str.split("\r\n\r\n", n=2).str[2]
     return pd.DataFrame(
         {
-            "links": body.str.findall(_HREF_RE),
-            "text": body.str.extract(_TEXT_RE, expand=False),
+            "links": _nullsafe(body.str.findall(_HREF_RE)),
+            "text": _nullsafe(body.str.extract(_TEXT_RE, expand=False)),
         }
     )
 
@@ -254,9 +269,11 @@ def extract_page_kernel(html: pd.Series) -> pd.DataFrame:
 def extract_text_from_payload_kernel(payload: pd.Series) -> pd.Series:
     """Parsed-record payload (HTTP response bytes) -> extracted text.
     Same extraction as extract_text_kernel, one framing layer down."""
-    s = payload.map(lambda b: bytes(b).decode("latin-1"))
+    s = payload.map(
+        lambda b: bytes(b).decode("latin-1") if b is not None else None
+    ).astype("string")
     body = s.str.split("\r\n\r\n", n=1).str[1]
-    return body.str.extract(_TEXT_RE, expand=False)
+    return _nullsafe(body.str.extract(_TEXT_RE, expand=False))
 
 
 # ---- real-HTML extraction (kernels/htmlext; VERDICT r2 #1) ---------------
@@ -271,8 +288,13 @@ def extract_page_html_kernel(html: pd.Series, url: pd.Series) -> pd.DataFrame:
     from ..kernels.htmlext import extract_links, html_to_text, redecode_utf8
 
     s = html.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
-    body = s.str.split("\r\n\r\n", n=2).str[2]
-    body = [redecode_utf8(b) for b in body]
+    # .str[2] yields float NaN for records missing the \r\n\r\n framing
+    # (truncated/non-HTTP captures) — normalize to None so one bad record
+    # can't fail the task (ADVICE r3, high)
+    body = [
+        redecode_utf8(b) if isinstance(b, str) else None
+        for b in s.str.split("\r\n\r\n", n=2).str[2]
+    ]
     links = [
         extract_links(b, u) if b is not None else None
         for b, u in zip(body, url)
@@ -286,10 +308,17 @@ def extract_text_html_from_payload_kernel(payload: pd.Series) -> pd.Series:
     text (kernels/htmlext.html_to_text), one framing layer down."""
     from ..kernels.htmlext import html_to_text, redecode_utf8
 
-    s = payload.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
+    s = payload.map(
+        lambda b: bytes(b).decode("latin-1") if b is not None else None
+    ).astype("string")
     body = s.str.split("\r\n\r\n", n=1).str[1]
+    # NaN-normalize records missing the framing (ADVICE r3, high)
     return pd.Series(
-        [html_to_text(redecode_utf8(b)) for b in body], index=payload.index
+        [
+            html_to_text(redecode_utf8(b)) if isinstance(b, str) else None
+            for b in body
+        ],
+        index=payload.index,
     )
 
 
