@@ -1085,6 +1085,88 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # WARC engine paths (synthetic pages; non-SQL -> rows-only checks)
 # =========================================================================
 
+@register(
+    "http_response_split_agg",
+    oracle="""
+    WITH x AS (
+      SELECT doc_id % 10 AS b, lang, source, text,
+             CASE WHEN doc_id % 10 = 9 THEN NULL
+                  WHEN doc_id % 10 = 8 THEN CAST(404 AS BIGINT)
+                  WHEN doc_id % 10 = 7 THEN CAST(301 AS BIGINT)
+                  ELSE CAST(200 AS BIGINT) END AS http_status,
+             CASE WHEN doc_id % 10 = 9 THEN NULL
+                  WHEN lang = 'en' THEN 'text/html'
+                  ELSE 'text/plain' END AS http_content_type,
+             CASE WHEN doc_id % 10 = 9 THEN NULL
+                  WHEN doc_id % 10 = 8 THEN 'Not Found'
+                  WHEN doc_id % 10 = 7 THEN 'Moved Permanently'
+                  ELSE 'OK' END AS reason
+      FROM documents)
+    SELECT http_status, http_content_type,
+           COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS body_bytes,
+           MIN(reason) AS reason_min,
+           MAX(reason) AS reason_max,
+           CAST(SUM(CASE WHEN b = 9 THEN NULL ELSE 2 END) AS BIGINT) AS n_header_names,
+           CAST(SUM(CASE WHEN b = 9 THEN 0 ELSE 1 END) AS BIGINT) AS n_xtag_ok
+    FROM x GROUP BY http_status, http_content_type
+    ORDER BY http_status, http_content_type
+    """,
+)
+def http_response_split_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP response payload split (VERDICT r3 missing #3): closed-form
+    synthetic HTTP/1.1 payloads built from the documents table (status,
+    reason, Content-Type, a DUPLICATE X-Tag header to exercise RFC 9110
+    comma-joining, utf-8 body), split by sources.split_http_payload, then
+    aggregated by promoted http_status/http_content_type. One bucket in
+    ten carries a non-HTTP payload to prove the pass-through contract
+    (null http fields, body == payload). The oracle recomputes every
+    column closed-form in DuckDB — status parse, media-type promotion,
+    reason round-trip, header-name count, dup-header join, and byte-exact
+    body recovery (utf-8 octet length)."""
+    from .sources.warc_source import split_http_payload
+
+    d = t(spark, sf_dir, "documents")
+    b = F.col("doc_id") % 10
+    status = (
+        F.when(b == 8, F.lit("404 Not Found"))
+        .when(b == 7, F.lit("301 Moved Permanently"))
+        .otherwise(F.lit("200 OK"))
+    )
+    ct = F.when(F.col("lang") == "en", F.lit("text/html; charset=UTF-8")).otherwise(
+        F.lit("text/plain; charset=UTF-8")
+    )
+    head = F.concat(
+        F.lit("HTTP/1.1 "), status,
+        F.lit("\r\nContent-Type: "), ct,
+        F.lit("\r\nX-Tag: "), F.col("source"),
+        F.lit("\r\nX-Tag: "), F.col("lang"),
+        F.lit("\r\n\r\n"),
+    )
+    payload_str = F.when(b == 9, F.col("text")).otherwise(F.concat(head, F.col("text")))
+    recs = d.select(
+        "doc_id", "lang", "source", F.encode(payload_str, "UTF-8").alias("payload")
+    )
+    sp = split_http_payload(recs, drop_payload=True)
+    xok = F.when(
+        F.col("http_headers")["x-tag"]
+        == F.concat(F.col("source"), F.lit(", "), F.col("lang")),
+        1,
+    ).otherwise(0)
+    return (
+        sp.groupBy("http_status", "http_content_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("http_body")).alias("body_bytes"),
+            F.min("http_reason").alias("reason_min"),
+            F.max("http_reason").alias("reason_max"),
+            F.sum(F.size("http_header_names")).alias("n_header_names"),
+            F.sum(xok).cast("long").alias("n_xtag_ok"),
+        )
+        .orderBy("http_status", "http_content_type")
+    )
+
+
 @register("warc_parse_agg")
 def warc_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship ingest path (M1 slice, SURVEY §7): synth Common-Crawl-style
@@ -1957,7 +2039,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (insertion) order. Keep the registry <=50 total.
 _CHANGED_FIRST = [
     # new in r4
-    "warc_http_split_agg",
+    "http_response_split_agg",
     # changed in r4 (oracle fix / merged entries / recall columns)
     "doc_html_extract_agg",
     "doc_token_stats",

@@ -1,6 +1,8 @@
 from .warc_source import (  # noqa: F401
+    HTTP_SPLIT_SCHEMA,
     MEMBER_INDEX_SCHEMA,
     WARC_RECORD_SCHEMA,
+    split_http_payload,
     index_warc_members,
     index_warc_members_streamed,
     parse_warc_column,

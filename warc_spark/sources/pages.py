@@ -303,6 +303,28 @@ def extract_page_html_kernel(html: pd.Series, url: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"links": links, "text": text})
 
 
+def extract_text_from_body_kernel(body: pd.Series) -> pd.Series:
+    """HTTP body bytes (already split from the response framing by
+    kernels/httpresp) -> extracted text, synthetic-corpus grammar."""
+    s = body.map(
+        lambda b: bytes(b).decode("latin-1") if b is not None else None
+    ).astype("string")
+    return _nullsafe(s.str.extract(_TEXT_RE, expand=False))
+
+
+def extract_text_html_from_body_kernel(body: pd.Series) -> pd.Series:
+    """HTTP body bytes -> text via the real-HTML kernel (kernels/htmlext)."""
+    from ..kernels.htmlext import html_to_text, redecode_utf8
+
+    vals = (
+        bytes(b).decode("latin-1") if b is not None else None for b in body
+    )
+    return pd.Series(
+        [html_to_text(redecode_utf8(v)) if v is not None else None for v in vals],
+        index=body.index,
+    )
+
+
 def extract_text_html_from_payload_kernel(payload: pd.Series) -> pd.Series:
     """Parsed-record payload (HTTP response bytes) -> real-HTML extracted
     text (kernels/htmlext.html_to_text), one framing layer down."""
@@ -357,7 +379,11 @@ def synth_seeds(
     return df.groupBy("url").agg(F.max("priority").alias("priority"))
 
 
-def pages_from_records(records: DataFrame, extractor: str = "synthetic") -> DataFrame:
+def pages_from_records(
+    records: DataFrame,
+    extractor: str = "synthetic",
+    require_status: int | None = None,
+) -> DataFrame:
     """WARC records table (``read_warc``/``read_warc_presplit`` output) ->
     the input_hint pages table (url, warc_ts, html, text, lang): response
     records re-serialized to their wire bytes (byte-identical — round-trip
@@ -369,7 +395,14 @@ def pages_from_records(records: DataFrame, extractor: str = "synthetic") -> Data
     ``extractor``: ``"synthetic"`` keeps the corpus-shape kernel (the
     byte-identity oracle for generated corpora); ``"html"`` uses the
     REAL-HTML kernel (kernels/htmlext — tag stripping, entity decode,
-    whitespace normalization) — what a real Common-Crawl segment needs."""
+    whitespace normalization) — what a real Common-Crawl segment needs.
+
+    ``require_status``: when set (typically 200), the payload is split into
+    HTTP status/headers/body first (sources.warc_source.split_http_payload)
+    and only responses with that status survive — the standard first filter
+    of a real crawl corpus. Text then extracts straight from the HTTP body
+    (no second framing split); the ``html`` column stays the byte-exact
+    wire record either way."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import BinaryType
@@ -392,11 +425,23 @@ def pages_from_records(records: DataFrame, extractor: str = "synthetic") -> Data
         if extractor == "html"
         else extract_text_from_payload_kernel
     )
-    extract_udf = F.pandas_udf(text_kernel, StringType())
     resp = records.filter(
         (F.col("warc_type") == "response") & F.col("target_uri").isNotNull()
     )
-    text_col = extract_udf(F.col("payload"))
+    if require_status is not None:
+        from .warc_source import split_http_payload
+
+        body_kernel = (
+            extract_text_html_from_body_kernel
+            if extractor == "html"
+            else extract_text_from_body_kernel
+        )
+        resp = split_http_payload(resp).filter(
+            F.col("http_status") == int(require_status)
+        )
+        text_col = F.pandas_udf(body_kernel, StringType())(F.col("http_body"))
+    else:
+        text_col = F.pandas_udf(text_kernel, StringType())(F.col("payload"))
     return resp.select(
         F.col("target_uri").alias("url"),
         F.col("warc_date").alias("warc_ts"),

@@ -67,6 +67,45 @@ WARC_RECORD_SCHEMA = StructType(
 )
 
 
+HTTP_SPLIT_SCHEMA = StructType(
+    [
+        StructField("http_status", LongType()),
+        StructField("http_reason", StringType()),
+        StructField("http_headers", MapType(StringType(), StringType())),
+        StructField("http_header_names", ArrayType(StringType())),
+        StructField("http_content_type", StringType()),
+        StructField("http_body", BinaryType()),
+    ]
+)
+
+
+def split_http_payload(records: DataFrame, drop_payload: bool = False) -> DataFrame:
+    """Promote the HTTP response line/headers/body hiding inside ``payload``
+    to first-class columns: ``http_status``, ``http_reason``,
+    ``http_headers`` (map, lowercase keys), ``http_header_names`` (original
+    spellings, wire order), ``http_content_type`` (lowercased media type,
+    parameters stripped), ``http_body`` (opaque bytes).
+
+    The reference treats the payload as one blob (status line + headers +
+    body concatenated, warc/warc.py:215-242) — fine for digesting, useless
+    for the first filter every CC user applies (``http_status == 200``,
+    content-type). One struct-returning Arrow pass: the payload column
+    crosses the boundary once; non-HTTP payloads (requests, resources,
+    truncated junk) pass through with null http fields and
+    ``http_body`` = payload. ``drop_payload=True`` drops the original
+    blob after the split — at 100 TB, keeping both doubles every
+    downstream shuffle/cache of the table, so drop it unless byte-exact
+    re-serialization is still needed."""
+    from ..kernels.httpresp import split_http_payload_kernel
+
+    split_udf = F.pandas_udf(split_http_payload_kernel, HTTP_SPLIT_SCHEMA)
+    out = records.withColumn("__http", split_udf("payload"))
+    keep = [c for c in records.columns if not (drop_payload and c == "payload")]
+    return out.select(
+        *keep, *[F.col(f"__http.{f.name}").alias(f.name) for f in HTTP_SPLIT_SCHEMA.fields]
+    )
+
+
 def _records_of_file(name: str, data: bytes, strict: bool, payload_cap: int | None):
     """Kernel: one archive file's bytes -> list of record dicts."""
     rows = []
