@@ -2,7 +2,12 @@
 tag stripping, script/style/comment removal, entity decoding, whitespace
 normalization, <base>-aware relative-href resolution."""
 
-from warc_spark.kernels.htmlext import extract_links, html_to_text, redecode_utf8
+from warc_spark.kernels.htmlext import (
+    extract_links,
+    html_to_text,
+    redecode_html,
+    redecode_utf8,
+)
 
 
 class TestHtmlToText:
@@ -189,3 +194,121 @@ class TestFramingRobustness:
 
         out = extract_text_from_payload_kernel(self._mk(None, b"junk"))
         assert out.isna().all()
+
+
+class TestUnclosedScriptStyle:
+    """VERDICT r3 #5: an unterminated <script>/<style> (truncated capture)
+    runs to EOF, browser-style — its content must never leak into text or
+    links."""
+
+    def test_unclosed_script_runs_to_eof(self):
+        html = (
+            "<html><body><p>Real text</p>"
+            '<script>var x = "<p>fake</p>"; document.write('
+        )  # capture truncated mid-script
+        assert html_to_text(html) == "Real text"
+
+    def test_unclosed_style_runs_to_eof(self):
+        html = "<p>Kept</p><style>.a {content: 'leak?'"
+        assert html_to_text(html) == "Kept"
+
+    def test_closed_then_unclosed(self):
+        html = (
+            "<script>closed();</script><p>alpha</p>"
+            "<noscript>also closed</noscript><p>beta</p>"
+            "<script>trunca"
+        )
+        assert html_to_text(html) == "alpha\nbeta"
+
+    def test_unclosed_script_links_dropped(self):
+        html = (
+            '<a href="/keep.html">k</a>'
+            '<script>var a = \'<a href="/dead.html">d</a>\';'
+        )
+        assert extract_links(html, "http://s.example.com/") == [
+            "http://s.example.com/keep.html"
+        ]
+
+    def test_closed_pairs_unchanged(self):
+        # regression guard: fully-closed documents behave exactly as before
+        html = (
+            "<script>x()</script><p>one</p><style>s{}</style><p>two</p>"
+        )
+        assert html_to_text(html) == "one\ntwo"
+
+
+class TestRedecodeHtml:
+    """VERDICT r3 #6: declared-charset redecode beyond utf-8 (stdlib
+    codecs), utf-8/ascii path unchanged."""
+
+    def _mirror(self, raw: bytes) -> str:
+        return raw.decode("latin-1")
+
+    def test_utf8_still_wins(self):
+        raw = "<p>café</p>".encode("utf-8")
+        assert redecode_html(self._mirror(raw)) == "<p>café</p>"
+
+    def test_ascii_unchanged(self):
+        assert redecode_html("<p>plain</p>") == "<p>plain</p>"
+        assert redecode_html(None) is None
+
+    def test_meta_charset_windows_1251(self):
+        body = '<html><head><meta charset="windows-1251"></head><body>Привет</body></html>'
+        raw = body.encode("windows-1251")
+        assert redecode_html(self._mirror(raw)) == body
+
+    def test_http_equiv_shift_jis(self):
+        body = (
+            '<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=Shift_JIS"></head>'
+            "<body>日本語のテキスト</body></html>"
+        )
+        raw = body.encode("shift_jis")
+        assert redecode_html(self._mirror(raw)) == body
+
+    def test_content_type_header_beats_meta_absence(self):
+        body = "<html><body>Русский текст без меты</body></html>"
+        raw = body.encode("koi8-r")
+        got = redecode_html(self._mirror(raw), "text/html; charset=koi8-r")
+        assert got == body
+
+    def test_gb2312_meta(self):
+        body = "<html><meta charset=gb2312><body>中文内容</body></html>"
+        raw = body.encode("gb2312")
+        assert redecode_html(self._mirror(raw)) == body
+
+    def test_unknown_charset_falls_back(self):
+        s = self._mirror(b"<meta charset=x-nope>\xff\xfe bytes")
+        assert redecode_html(s) == s  # never raises
+
+    def test_wrong_declaration_undecodable_falls_back(self):
+        # declared shift_jis but bytes are invalid for it -> latin-1 mirror
+        raw = b"<meta charset=shift_jis>\x81"  # truncated SJIS lead byte
+        s = self._mirror(raw)
+        assert redecode_html(s) == s
+
+    def test_declared_latin1_identity(self):
+        raw = "<meta charset=iso-8859-1><p>fête</p>".encode("latin-1")
+        s = self._mirror(raw)
+        assert redecode_html(s) == s
+
+    def test_full_pipeline_1251(self):
+        body = (
+            '<html><head><meta charset=windows-1251><title>Тест</title></head>'
+            "<body><p>Первый абзац</p></body></html>"
+        )
+        raw = body.encode("windows-1251")
+        assert html_to_text(redecode_html(self._mirror(raw))) == "Тест\nПервый абзац"
+
+    def test_body_kernel_uses_content_type(self):
+        import pandas as pd
+
+        from warc_spark.sources.pages import extract_text_html_from_body_kernel
+
+        body = "<html><body><p>Зимняя страница</p></body></html>"
+        raw = body.encode("windows-1251")
+        out = extract_text_html_from_body_kernel(
+            pd.Series([bytearray(raw), None]),
+            pd.Series(["text/html; charset=windows-1251", None]),
+        )
+        assert out.tolist() == ["Зимняя страница", None]

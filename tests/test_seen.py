@@ -115,3 +115,82 @@ class TestCuckoo:
         assert still <= 3
         kept = ck.probe(urls_df(spark, range(150, 300)), blobs2)
         assert kept.filter(~F.col("maybe_seen")).count() == 0
+
+    def test_vectorized_insert_equals_loop_semantics(self):
+        """r4 vectorized insert (VERDICT r3 #4): same membership semantics
+        as the per-item reference loop — every inserted url probes true,
+        and both paths occupy exactly one slot per insert."""
+        import numpy as np
+        import pandas as pd
+
+        ck = CuckooSeenSet(table_buckets=1 << 12)
+        urls = pd.Series(
+            ["http://h%d.example.org/p/%d" % (i % 50, i) for i in range(9000)]
+        )
+        tv, tl = ck._empty_table(), ck._empty_table()
+        assert ck._insert_all(tv, urls) == 9000
+        assert ck._insert_all_loop(tl, urls) == 9000
+        assert (tv != 0).sum() == (tl != 0).sum() == 9000
+        for table in (tv, tl):
+            fps = ck._fingerprint(urls)
+            idxs = ck._index(urls)
+            alts = ck._alt_index(idxs, fps)
+            hit = (table[idxs] == fps[:, None]).any(axis=1) | (
+                (table[alts] == fps[:, None]).any(axis=1)
+            )
+            assert hit.all()
+
+    def test_vectorized_insert_fills_scattered_holes(self):
+        """Placement must use the rank-th EMPTY slot, not the rank-th slot:
+        carve non-contiguous holes (delete pattern) and re-insert."""
+        import numpy as np
+        import pandas as pd
+
+        ck = CuckooSeenSet(table_buckets=1 << 8)
+        table = ck._empty_table()
+        u1 = pd.Series(["http://a.example.org/x/%d" % i for i in range(700)])
+        ck._insert_all(table, u1)
+        # knock out the middle two slots of every bucket -> scattered holes
+        survivors = (table != 0).sum() - (table[:, 1:3] != 0).sum()
+        table[:, 1:3] = 0
+        u2 = pd.Series(["http://b.example.org/y/%d" % i for i in range(400)])
+        ck._insert_all(table, u2)
+        assert (table != 0).sum() == survivors + 400
+        fps = ck._fingerprint(u2)
+        idxs = ck._index(u2)
+        alts = ck._alt_index(idxs, fps)
+        hit = (table[idxs] == fps[:, None]).any(axis=1) | (
+            (table[alts] == fps[:, None]).any(axis=1)
+        )
+        assert hit.all()
+
+    def test_vectorized_insert_speedup(self):
+        """The placement kernel (what r3 #4 vectorizes — hashing was
+        already one array pass) must be >=5x faster than the per-item
+        reference loop on a 1M-url bucket; measured gap is ~10x+, so 5x
+        is drift-safe."""
+        import time
+
+        import pandas as pd
+
+        ck = CuckooSeenSet(table_buckets=1 << 19)
+        urls = pd.Series(
+            ["http://h%d.example.org/path/%d" % (i % 997, i) for i in range(1_000_000)]
+        )
+        fps, idxs = ck._hash_fp_idx(urls)
+        ck._place_all(ck._empty_table(), fps[:1000], idxs[:1000])  # warm
+        ck._place_all_loop(ck._empty_table(), fps[:1000], idxs[:1000])
+
+        def best_of(fn, n):
+            # min-of-n: robust to concurrent-load noise (suite shares the
+            # box with Spark executors)
+            times = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                fn(ck._empty_table(), fps, idxs)
+                times.append(time.perf_counter() - t0)
+            return min(times)
+
+        vec = best_of(ck._place_all, 3)
+        loop = best_of(ck._place_all_loop, 2)
+        assert loop / vec >= 5, (loop, vec)

@@ -43,6 +43,7 @@ fingerprinting/dedup pipeline needs more than tag-soup heroics.
 
 from __future__ import annotations
 
+import codecs
 import html as _html
 import re
 from urllib.parse import urldefrag, urljoin
@@ -50,6 +51,12 @@ from urllib.parse import urldefrag, urljoin
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _DROP_RE = re.compile(
     r"<(script|style|noscript|template)\b.*?</\1\s*>", re.S | re.I
+)
+# an UNTERMINATED <script>/<style> opener (common in truncated captures)
+# runs to EOF, exactly as browsers treat it — applied after _DROP_RE so
+# only openers with no matching close remain (VERDICT r3 #5)
+_DROP_OPEN_RE = re.compile(
+    r"<(?:script|style|noscript|template)\b[^>]*>.*$", re.S | re.I
 )
 _BLOCK_TAGS = (
     "p|div|br|li|ul|ol|tr|td|th|table|thead|tbody|h1|h2|h3|h4|h5|h6|"
@@ -89,12 +96,63 @@ def redecode_utf8(s: str | None) -> str | None:
         return s
 
 
+_META_CHARSET_RE = re.compile(
+    r"""<meta\b[^>]*?charset\s*=\s*["']?\s*([A-Za-z0-9_.:\-]+)""", re.I
+)
+_CT_CHARSET_RE = re.compile(r"charset\s*=\s*\"?'?\s*([A-Za-z0-9_.:\-]+)", re.I)
+# declaring one of these just confirms the latin-1 mirror is already right
+_IDENTITY_CODECS = frozenset({"iso8859-1", "latin-1", "ascii", "us-ascii", "cp1252"})
+
+
+def redecode_html(s: str | None, content_type: str | None = None) -> str | None:
+    """Charset fix-up honoring declarations beyond utf-8 (VERDICT r3 #6):
+    valid utf-8 still wins (ascii/utf-8 pages behave exactly as
+    ``redecode_utf8`` — the common path is unchanged); otherwise the
+    charset declared in the HTTP ``Content-Type`` (if provided) or a
+    ``<meta charset>`` / ``http-equiv`` hint in the first 2 KiB is looked
+    up in the stdlib codec registry (windows-1251/-1252, shift_jis,
+    gb2312, euc-jp, koi8-r, ...) and the original bytes re-decoded with
+    it. Unknown/undecodable declarations fall back to the latin-1 mirror
+    — never raises. cp1252 is treated as confirming the mirror: its
+    printable range is a latin-1 superset and real pages declaring it are
+    overwhelmingly in the shared subset, so rewriting control-range bytes
+    would churn the byte-exactness story for no text gain."""
+    if s is None:
+        return None
+    try:
+        b = s.encode("latin-1")
+    except UnicodeEncodeError:
+        return s  # already properly decoded upstream
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    enc = None
+    if content_type:
+        m = _CT_CHARSET_RE.search(content_type)
+        if m:
+            enc = m.group(1)
+    if enc is None:
+        m = _META_CHARSET_RE.search(s[:2048])
+        if m:
+            enc = m.group(1)
+    if enc:
+        try:
+            name = codecs.lookup(enc).name
+            if name not in _IDENTITY_CODECS and name != "utf-8":
+                return b.decode(name)
+        except (LookupError, UnicodeDecodeError):
+            pass
+    return s
+
+
 def html_to_text(html: str | None) -> str | None:
     """Real-HTML text extraction (pipeline in the module docstring)."""
     if html is None:
         return None
     s = _COMMENT_RE.sub(" ", html)
     s = _DROP_RE.sub(" ", s)
+    s = _DROP_OPEN_RE.sub(" ", s)
     s = _BLOCK_RE.sub("\n", s)
     s = _TAG_RE.sub("", s)
     s = _html.unescape(s)
@@ -115,7 +173,7 @@ def extract_links(html: str | None, base_url: str | None) -> list[str]:
     """Resolved out-links of a page (rules in the module docstring)."""
     if html is None:
         return []
-    s = _DROP_RE.sub(" ", _COMMENT_RE.sub(" ", html))
+    s = _DROP_OPEN_RE.sub(" ", _DROP_RE.sub(" ", _COMMENT_RE.sub(" ", html)))
     base = base_url or ""
     bm = _BASE_RE.search(s)
     if bm:

@@ -285,14 +285,14 @@ def extract_page_html_kernel(html: pd.Series, url: pd.Series) -> pd.DataFrame:
     ``<base>``). Same one-Arrow-pass contract as extract_page_kernel —
     the binary column crosses the boundary once. Null html (fetch miss)
     yields null links/text."""
-    from ..kernels.htmlext import extract_links, html_to_text, redecode_utf8
+    from ..kernels.htmlext import extract_links, html_to_text, redecode_html
 
     s = html.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
     # .str[2] yields float NaN for records missing the \r\n\r\n framing
     # (truncated/non-HTTP captures) — normalize to None so one bad record
     # can't fail the task (ADVICE r3, high)
     body = [
-        redecode_utf8(b) if isinstance(b, str) else None
+        redecode_html(b) if isinstance(b, str) else None
         for b in s.str.split("\r\n\r\n", n=2).str[2]
     ]
     links = [
@@ -312,15 +312,25 @@ def extract_text_from_body_kernel(body: pd.Series) -> pd.Series:
     return _nullsafe(s.str.extract(_TEXT_RE, expand=False))
 
 
-def extract_text_html_from_body_kernel(body: pd.Series) -> pd.Series:
-    """HTTP body bytes -> text via the real-HTML kernel (kernels/htmlext)."""
-    from ..kernels.htmlext import html_to_text, redecode_utf8
+def extract_text_html_from_body_kernel(
+    body: pd.Series, content_type: pd.Series
+) -> pd.Series:
+    """HTTP body bytes + raw Content-Type header (charset param intact) ->
+    text via the real-HTML kernel. The declared charset reaches the
+    redecode step (VERDICT r3 #6) — the one place in the engine where the
+    HTTP layer and the HTML layer genuinely need each other."""
+    from ..kernels.htmlext import html_to_text, redecode_html
 
     vals = (
         bytes(b).decode("latin-1") if b is not None else None for b in body
     )
     return pd.Series(
-        [html_to_text(redecode_utf8(v)) if v is not None else None for v in vals],
+        [
+            html_to_text(redecode_html(v, ct if isinstance(ct, str) else None))
+            if v is not None
+            else None
+            for v, ct in zip(vals, content_type)
+        ],
         index=body.index,
     )
 
@@ -328,7 +338,7 @@ def extract_text_html_from_body_kernel(body: pd.Series) -> pd.Series:
 def extract_text_html_from_payload_kernel(payload: pd.Series) -> pd.Series:
     """Parsed-record payload (HTTP response bytes) -> real-HTML extracted
     text (kernels/htmlext.html_to_text), one framing layer down."""
-    from ..kernels.htmlext import html_to_text, redecode_utf8
+    from ..kernels.htmlext import html_to_text, redecode_html
 
     s = payload.map(
         lambda b: bytes(b).decode("latin-1") if b is not None else None
@@ -337,7 +347,7 @@ def extract_text_html_from_payload_kernel(payload: pd.Series) -> pd.Series:
     # NaN-normalize records missing the framing (ADVICE r3, high)
     return pd.Series(
         [
-            html_to_text(redecode_utf8(b)) if isinstance(b, str) else None
+            html_to_text(redecode_html(b)) if isinstance(b, str) else None
             for b in body
         ],
         index=payload.index,
@@ -439,7 +449,14 @@ def pages_from_records(
         resp = split_http_payload(resp).filter(
             F.col("http_status") == int(require_status)
         )
-        text_col = F.pandas_udf(body_kernel, StringType())(F.col("http_body"))
+        if extractor == "html":
+            # raw Content-Type header (charset param intact) feeds the
+            # declared-charset redecode (VERDICT r3 #6)
+            text_col = F.pandas_udf(body_kernel, StringType())(
+                F.col("http_body"), F.col("http_headers").getItem("content-type")
+            )
+        else:
+            text_col = F.pandas_udf(body_kernel, StringType())(F.col("http_body"))
     else:
         text_col = F.pandas_udf(text_kernel, StringType())(F.col("payload"))
     return resp.select(
