@@ -54,6 +54,22 @@ def cosine_topk_bruteforce(
     )
 
 
+def with_recall_at_k(ann: DataFrame, exact: DataFrame, k: int, id_col: str = "vec_id") -> DataFrame:
+    """Append a constant ``recall_at_k`` column: |ann ∩ exact top-k| / k.
+
+    Makes a rows-only ANN query self-verifying (VERDICT r3 #8) — the
+    approximate result carries its own measured recall against the exact
+    brute-force twin computed in the same plan. Both sides are tiny (k
+    rows) after their own TakeOrderedAndProject, so the semi-join and the
+    broadcast of the 1-row scalar are free at any corpus scale."""
+    rec = (
+        ann.select(id_col)
+        .join(exact.select(id_col), id_col, "left_semi")
+        .agg((F.count("*") / F.lit(float(k))).alias(f"recall_at_{k}"))
+    )
+    return ann.crossJoin(F.broadcast(rec))
+
+
 def hyperplane_bucket_udf(n_planes: int = 12, seed: int = 42, dim: int | None = None):
     """pandas UDF: embedding -> int64 LSH bucket (sign bits vs seed-derived
     gaussian hyperplanes). Batch matmul in numpy; planes are regenerated

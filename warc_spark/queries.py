@@ -1037,22 +1037,28 @@ def emb_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deliberately rows-only: on the gate corpus the exact top-10 tail is
     near-noise (cosine ~0.28), which no honest pruning recalls at 1.0 —
-    recall vs exact is asserted in tests/test_functions.py instead, and the
-    near-dup queries (which DO have exact-recall guarantees) carry the
-    brute-force oracles."""
+    but the result is SELF-verifying (VERDICT r3 #8): every row carries
+    ``recall_at_10`` measured against the brute-force twin computed in the
+    same plan (floor asserted in tests/test_functions.py). The near-dup
+    queries (which DO have exact-recall guarantees) carry the brute-force
+    oracles."""
     e = t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
-    return similarity.cosine_topk_lsh(e, qvec, k=10, n_planes=6, probe_hamming=2)
+    ann = similarity.cosine_topk_lsh(e, qvec, k=10, n_planes=6, probe_hamming=2)
+    exact = similarity.cosine_topk_bruteforce(e, qvec, k=10)
+    return similarity.with_recall_at_k(ann, exact, k=10)
 
 
 @register("emb_ann_ivf_top10")
 def emb_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic spherical-kmeans coarse cells,
     nprobe-cell scan, exact rerank (the partition-pruned scale path).
-    Rows-only for the same reason as emb_ann_lsh_top10."""
+    Rows-only + self-verifying ``recall_at_10``, as emb_ann_lsh_top10."""
     e = t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
-    return similarity.cosine_topk_ivf(e, qvec, k=10, n_cells=16, nprobe=4)
+    ann = similarity.cosine_topk_ivf(e, qvec, k=10, n_cells=16, nprobe=4)
+    exact = similarity.cosine_topk_bruteforce(e, qvec, k=10)
+    return similarity.with_recall_at_k(ann, exact, k=10)
 
 
 @register(
