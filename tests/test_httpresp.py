@@ -242,3 +242,93 @@ def test_require_status_synthetic_extractor_matches_unfiltered(spark, tmp_path):
     assert len(a) == len(b) == 60
     for ra, rb in zip(a, b):
         assert (ra.url, ra.text, bytes(ra.html)) == (rb.url, rb.text, bytes(rb.html))
+
+
+# ------------------------------------------------- wire-encoding decode
+
+
+class TestBodyDecode:
+    """Transfer-Encoding: chunked + Content-Encoding: gzip/deflate reversal
+    (split_http_payload(decode_body=True))."""
+
+    def test_dechunk_golden(self):
+        from warc_spark.kernels.httpresp import dechunk
+
+        assert dechunk(b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n") == b"hello world"
+        # chunk extension + lax LF framing + trailers ignored
+        assert dechunk(b"3;x=y\r\nabc\r\n0\r\nTrailer: t\r\n\r\n") == b"abc"
+        assert dechunk(b"2\nhi\n0\n\n") == b"hi"
+        assert dechunk(b"0\r\n\r\n") == b""
+
+    def test_dechunk_malformed_raises(self):
+        import pytest as _pytest
+
+        from warc_spark.kernels.httpresp import dechunk
+
+        for bad in (b"zz\r\nabc\r\n0\r\n\r\n", b"5\r\nab", b"3\r\nabcX0\r\n\r\n", b"5"):
+            with _pytest.raises(ValueError):
+                dechunk(bad)
+
+    def test_decode_body_layers(self):
+        import gzip
+        import zlib
+
+        from warc_spark.kernels.httpresp import decode_body
+
+        raw = b"the decoded content"
+        assert decode_body(raw, None, None) == (raw, True)
+        chunked = b"13\r\n" + raw + b"\r\n0\r\n\r\n"
+        assert decode_body(chunked, "chunked", None) == (raw, True)
+        assert decode_body(gzip.compress(raw, mtime=0), None, "gzip") == (raw, True)
+        assert decode_body(zlib.compress(raw), None, "deflate") == (raw, True)
+        # raw-deflate quirk (no zlib wrapper)
+        co = zlib.compressobj(wbits=-15)
+        rawdef = co.compress(raw) + co.flush()
+        assert decode_body(rawdef, None, "deflate") == (raw, True)
+        both = b"%x\r\n" % len(gzip.compress(raw, mtime=0)) + gzip.compress(
+            raw, mtime=0
+        ) + b"\r\n0\r\n\r\n"
+        assert decode_body(both, "chunked", "gzip") == (raw, True)
+
+    def test_decode_body_lenient_on_lies(self):
+        from warc_spark.kernels.httpresp import decode_body
+
+        raw = b"not actually gzip"
+        assert decode_body(raw, None, "gzip") == (raw, False)
+        assert decode_body(raw, "chunked", None) == (raw, False)
+        # undecodable coding: bytes untouched, flag False
+        assert decode_body(raw, None, "br") == (raw, False)
+        assert decode_body(None, "chunked", "gzip") == (None, False)
+
+    def test_split_decode_spark(self, spark):
+        import gzip
+
+        from pyspark.sql import functions as F
+
+        gz = gzip.compress(b"<html>page</html>", mtime=0)
+        payloads = [
+            (
+                1,
+                b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+                b"Transfer-Encoding: chunked\r\nContent-Type: text/html\r\n\r\n"
+                + b"%x\r\n" % len(gz) + gz + b"\r\n0\r\n\r\n",
+            ),
+            (2, b"HTTP/1.1 200 OK\r\n\r\nplain body"),
+            (3, b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"),
+            (4, b"not http at all"),
+        ]
+        df = spark.createDataFrame(payloads, "id long, payload binary")
+        got = {
+            r.id: r
+            for r in split_http_payload(df, decode_body=True).collect()
+        }
+        assert bytes(got[1].http_body) == b"<html>page</html>"
+        assert got[1].http_body_decoded is True
+        assert bytes(got[2].http_body) == b"plain body"
+        assert got[2].http_body_decoded is True
+        assert bytes(got[3].http_body) == b"not-gzip"  # lie kept raw
+        assert got[3].http_body_decoded is False
+        assert got[4].http_status is None
+        assert got[4].http_body_decoded is False
+        # without the flag the schema stays the six-field contract
+        assert "http_body_decoded" not in split_http_payload(df).columns

@@ -108,6 +108,82 @@ def parse_http_response(payload: bytes | None):
     return out
 
 
+def dechunk(body: bytes) -> bytes:
+    """Decode Transfer-Encoding: chunked framing (RFC 9112 §7.1): hex size
+    line (chunk extensions after ``;`` ignored), chunk bytes, CRLF, until
+    the 0-size chunk; trailer section ignored. Raises ValueError on
+    malformed framing (caller decides leniency)."""
+    out = []
+    i = 0
+    n = len(body)
+    while True:
+        j = body.find(b"\r\n", i)
+        sep = 2
+        if j < 0:
+            j = body.find(b"\n", i)  # lax LF framing
+            sep = 1
+        if j < 0:
+            raise ValueError("chunk size line not terminated")
+        size_tok = body[i:j].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError("bad chunk size %r" % size_tok[:16])
+        i = j + sep
+        if size == 0:
+            return b"".join(out)  # trailers (if any) ignored
+        if i + size > n:
+            raise ValueError("chunk truncated")
+        out.append(body[i : i + size])
+        i += size
+        # chunk data is followed by CRLF (lax: LF)
+        if body[i : i + 2] == b"\r\n":
+            i += 2
+        elif body[i : i + 1] == b"\n":
+            i += 1
+        else:
+            raise ValueError("chunk data not CRLF-terminated")
+
+
+def decode_body(body: bytes | None, te: str | None, ce: str | None) -> tuple[bytes | None, bool]:
+    """Reverse the wire encodings on a split body: chunked transfer framing
+    first, then gzip/x-gzip/deflate content coding. Lenient: any malformed
+    layer keeps the bytes as-is and reports decoded=False — one bad
+    record never fails a task. ``identity`` / unknown codings pass
+    through untouched (decoded reflects whether EVERY declared layer was
+    reversed)."""
+    if body is None:
+        return None, False
+    applied = True
+    if te and "chunked" in te.lower():
+        try:
+            body = dechunk(bytes(body))
+        except ValueError:
+            return body, False
+    if ce:
+        coding = ce.split(",")[-1].strip().lower()  # last-applied coding first
+        if coding in ("gzip", "x-gzip"):
+            import gzip as _gzip
+
+            try:
+                body = _gzip.decompress(bytes(body))
+            except Exception:
+                return body, False
+        elif coding == "deflate":
+            import zlib as _zlib
+
+            try:
+                body = _zlib.decompress(bytes(body))
+            except Exception:
+                try:  # raw-deflate servers (the classic IE-era quirk)
+                    body = _zlib.decompress(bytes(body), -15)
+                except Exception:
+                    return body, False
+        elif coding not in ("", "identity"):
+            applied = False  # br/zstd etc.: no lib here; bytes untouched
+    return body, applied
+
+
 def split_http_payload_kernel(payload: pd.Series) -> pd.DataFrame:
     """Arrow-batched kernel: payload bytes column -> the six FIELDS as a
     DataFrame. The body is a single bytes slice per record — the header
@@ -116,5 +192,28 @@ def split_http_payload_kernel(payload: pd.Series) -> pd.DataFrame:
     df = pd.DataFrame(rows, columns=list(FIELDS), index=payload.index)
     # keep status integral + nullable (pandas would otherwise coerce the
     # None-bearing column to float64/NaN)
+    df["http_status"] = df["http_status"].astype("Int64")
+    return df
+
+
+def split_http_payload_kernel_decoded(payload: pd.Series) -> pd.DataFrame:
+    """As split_http_payload_kernel, plus wire-encoding reversal on the
+    body (chunked transfer framing, gzip/deflate content coding) and an
+    ``http_body_decoded`` flag: True iff every declared encoding layer was
+    reversed (False for pass-through records, malformed framing, or
+    codings with no decoder here)."""
+    rows = [parse_http_response(p) for p in payload]
+    for r in rows:
+        hm = r["http_headers"]
+        if hm is not None:
+            body, ok = decode_body(
+                r["http_body"], hm.get("transfer-encoding"), hm.get("content-encoding")
+            )
+            r["http_body"], r["http_body_decoded"] = body, ok
+        else:
+            r["http_body_decoded"] = False
+    df = pd.DataFrame(
+        rows, columns=list(FIELDS) + ["http_body_decoded"], index=payload.index
+    )
     df["http_status"] = df["http_status"].astype("Int64")
     return df

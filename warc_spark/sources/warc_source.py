@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     LongType,
     MapType,
     StringType,
@@ -79,7 +80,9 @@ HTTP_SPLIT_SCHEMA = StructType(
 )
 
 
-def split_http_payload(records: DataFrame, drop_payload: bool = False) -> DataFrame:
+def split_http_payload(
+    records: DataFrame, drop_payload: bool = False, decode_body: bool = False
+) -> DataFrame:
     """Promote the HTTP response line/headers/body hiding inside ``payload``
     to first-class columns: ``http_status``, ``http_reason``,
     ``http_headers`` (map, lowercase keys), ``http_header_names`` (original
@@ -95,14 +98,31 @@ def split_http_payload(records: DataFrame, drop_payload: bool = False) -> DataFr
     ``http_body`` = payload. ``drop_payload=True`` drops the original
     blob after the split — at 100 TB, keeping both doubles every
     downstream shuffle/cache of the table, so drop it unless byte-exact
-    re-serialization is still needed."""
-    from ..kernels.httpresp import split_http_payload_kernel
+    re-serialization is still needed.
 
-    split_udf = F.pandas_udf(split_http_payload_kernel, HTTP_SPLIT_SCHEMA)
+    ``decode_body=True`` additionally reverses the wire encodings real
+    captures carry (Transfer-Encoding: chunked framing, then
+    gzip/x-gzip/deflate Content-Encoding) and appends an
+    ``http_body_decoded`` flag — True iff every declared layer was
+    reversed (malformed framing keeps the raw bytes and reports False;
+    still one Arrow pass)."""
+    from ..kernels.httpresp import (
+        split_http_payload_kernel,
+        split_http_payload_kernel_decoded,
+    )
+
+    if decode_body:
+        schema = StructType(
+            HTTP_SPLIT_SCHEMA.fields + [StructField("http_body_decoded", BooleanType())]
+        )
+        split_udf = F.pandas_udf(split_http_payload_kernel_decoded, schema)
+    else:
+        schema = HTTP_SPLIT_SCHEMA
+        split_udf = F.pandas_udf(split_http_payload_kernel, schema)
     out = records.withColumn("__http", split_udf("payload"))
     keep = [c for c in records.columns if not (drop_payload and c == "payload")]
     return out.select(
-        *keep, *[F.col(f"__http.{f.name}").alias(f.name) for f in HTTP_SPLIT_SCHEMA.fields]
+        *keep, *[F.col(f"__http.{f.name}").alias(f.name) for f in schema.fields]
     )
 
 
