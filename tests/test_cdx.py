@@ -1,0 +1,188 @@
+"""CDX capture-index generation (sources/cdx.py): SURT urlkey rules, full
+record derivation from a WARC fixture (mime/status via the HTTP split,
+base32 digest, member offset/length), globally range-ordered write, and
+line round-trip."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from warc_spark.kernels import sha1_digest_base32
+from warc_spark.sources import (
+    cdx_lines,
+    cdx_records,
+    read_cdx,
+    read_warc,
+    surt_key,
+    write_cdx,
+)
+
+
+def keys_of(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.k for r in df.select(surt_key(F.col("url")).alias("k")).collect()]
+
+
+class TestSurtKey:
+    def test_rules(self, spark):
+        got = keys_of(
+            spark,
+            [
+                "https://WWW.Example.COM/Path/Page.Html",
+                "http://example.com",
+                "http://example.com/",
+                "http://example.com:80/a",
+                "https://example.com:443/a",
+                "http://example.com:8080/a",
+                "http://a.b.example.co.uk/x/",
+                "http://example.com/p?beta=2&alpha=1",
+                "http://example.com/p?z=1#frag",
+                "http://example.com/#frag",
+            ],
+        )
+        assert got == [
+            "com,example)/path/page.html",
+            "com,example)/",
+            "com,example)/",
+            "com,example)/a",
+            "com,example)/a",
+            "com,example:8080)/a",
+            "uk,co,example,b,a)/x",
+            "com,example)/p?alpha=1&beta=2",
+            "com,example)/p?z=1",
+            "com,example)/",
+        ]
+
+    def test_sorts_host_first(self, spark):
+        # the point of SURT: all captures of a host (and its subdomains)
+        # are contiguous under lexicographic order
+        ks = sorted(
+            keys_of(
+                spark,
+                [
+                    "http://example.com/z",
+                    "http://sub.example.com/a",
+                    "http://examplf.com/a",
+                    "http://example.com/a",
+                ],
+            )
+        )
+        assert ks == [
+            "com,example)/a",
+            "com,example)/z",
+            "com,example,sub)/a",
+            "com,examplf)/a",
+        ]
+
+
+@pytest.fixture(scope="module")
+def cdx_warc(tmp_path_factory):
+    from warc_spark.kernels.gzipmember import compress_gzip_member
+    from warc_spark.kernels.warcrec import serialize_warc_record
+
+    d = tmp_path_factory.mktemp("cdxwarc")
+    path = str(d / "captures.warc.gz")
+    recs = [
+        (
+            "http://WWW.Site-One.com/Index.html?b=2&a=1",
+            "2026-08-01T10:20:30Z",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+            b"<html>one</html>",
+        ),
+        (
+            "http://site-two.org:8080/moved",
+            "2026-08-02T00:00:00Z",
+            b"HTTP/1.1 301 Moved Permanently\r\nLocation: http://site-two.org/new\r\n"
+            b"Content-Type: text/html\r\n\r\nmoved",
+        ),
+        (
+            "http://site-three.net/blob",
+            "2026-08-03T23:59:59Z",
+            b"raw non-http capture",
+        ),
+    ]
+    with open(path, "wb") as f:
+        for i, (url, date, payload) in enumerate(recs):
+            headers = [
+                ("WARC-Type", "response"),
+                ("WARC-Record-ID", "<urn:uuid:00000000-0000-0000-0000-%012d>" % i),
+                ("WARC-Date", date),
+                ("WARC-Target-URI", url),
+                ("Content-Type", "application/http; msgtype=response"),
+                ("Content-Length", str(len(payload))),
+            ]
+            f.write(compress_gzip_member(serialize_warc_record(headers, payload)))
+    return path, recs
+
+
+class TestCdxRecords:
+    def test_fields_from_warc(self, spark, cdx_warc):
+        path, recs = cdx_warc
+        scan = read_warc(spark, path)
+        rows = {r.original: r for r in cdx_records(scan).collect()}
+        assert len(rows) == 3
+
+        one = rows["http://WWW.Site-One.com/Index.html?b=2&a=1"]
+        assert one.urlkey == "com,site-one)/index.html?a=1&b=2"
+        assert one.timestamp == "20260801102030"
+        assert one.mimetype == "text/html"
+        assert one.statuscode == "200"
+        # digest: scan's sha1 hex re-encoded base32 == direct b32 digest
+        assert "sha1:" + one.digest == sha1_digest_base32(recs[0][2])
+        assert one.redirect == "-" and one.robotflags == "-"
+        assert one.filename == "captures.warc.gz"
+
+        two = rows["http://site-two.org:8080/moved"]
+        assert two.urlkey == "org,site-two:8080)/moved"
+        assert two.statuscode == "301"
+        assert two.redirect == "http://site-two.org/new"
+
+        three = rows["http://site-three.net/blob"]  # non-HTTP capture
+        assert three.statuscode == "-" and three.mimetype == "unk"
+
+        # offsets/lengths are the scan's member geometry, usable directly
+        scan_rows = {r.target_uri: r for r in scan.collect()}
+        for url, r in rows.items():
+            assert int(r.offset) == scan_rows[url].offset
+            assert int(r.length) == scan_rows[url].size
+
+    def test_offset_fetches_record(self, spark, cdx_warc):
+        """The CDX contract: (offset, length, filename) must address the
+        exact member so a replay service can range-read the capture."""
+        import gzip
+
+        path, recs = cdx_warc
+        row = [
+            r
+            for r in cdx_records(read_warc(spark, path)).collect()
+            if r.original == "http://site-two.org:8080/moved"
+        ][0]
+        with open(path, "rb") as f:
+            f.seek(int(row.offset))
+            member = f.read(int(row.length))
+        assert gzip.decompress(member).find(recs[1][2]) > 0
+
+    def test_write_read_roundtrip_and_global_order(self, spark, cdx_warc, tmp_path):
+        path, _ = cdx_warc
+        out = str(tmp_path / "cdx")
+        cdx = cdx_records(read_warc(spark, path))
+        write_cdx(cdx, out, partitions=2)
+        back = read_cdx(spark, out)
+        assert sorted(r.urlkey for r in back.collect()) == sorted(
+            r.urlkey for r in cdx.collect()
+        )
+        # global range order: concatenating parts in name order yields a
+        # fully sorted file set (the binary-searchable collection layout)
+        lines = []
+        for p in sorted(glob.glob(os.path.join(out, "part-*"))):
+            with open(p) as f:
+                lines += [ln.rstrip("\n") for ln in f if ln.strip()]
+        keys = [(ln.split(" ")[0], ln.split(" ")[1]) for ln in lines]
+        assert keys == sorted(keys) and len(keys) == 3
+
+    def test_lines_are_11_fields(self, spark, cdx_warc):
+        path, _ = cdx_warc
+        for r in cdx_lines(cdx_records(read_warc(spark, path))).collect():
+            assert len(r.line.split(" ")) == 11

@@ -1502,19 +1502,7 @@ def media_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "media_image_stats",
-    oracle="""
-    SELECT e.vec_id,
-           16 AS width, 16 AS height,
-           CAST(SUM((e.vec_id*7 + g.p*g.p + 0)  % 256) AS BIGINT) AS sum_r,
-           CAST(SUM((e.vec_id*7 + g.p*g.p + 5)  % 256) AS BIGINT) AS sum_g,
-           CAST(SUM((e.vec_id*7 + g.p*g.p + 10) % 256) AS BIGINT) AS sum_b
-    FROM embeddings e CROSS JOIN generate_series(0, 255) AS g(p)
-    GROUP BY e.vec_id ORDER BY e.vec_id
-    """,
-)
-def media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, oracle-checked end to end: deterministic 16x16
     RGB images (pixel(p, c) = (id*7 + p^2 + c*5) mod 256) are encoded as
     netpbm executor-side, pushed through the real decode_media stage
@@ -1765,16 +1753,7 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "media_audio_stats",
-    oracle="""
-    SELECT vec_id,
-           1 AS channels, 8000 AS sample_rate,
-           CAST(ROUND(1000.0 * (4000 + (vec_id % 64) * 24) / 8000) AS INT) AS duration_ms
-    FROM embeddings ORDER BY vec_id
-    """,
-)
-def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the gate: deterministic PCM WAV clips
     (8 kHz mono, 4000 + 24*(id mod 64) samples (sample counts divisible by 8, so duration_ms is exact — no round-half ambiguity) of a seeded sine) encoded
     executor-side, decoded by the real stdlib-wave kernel; channel count,
@@ -1803,6 +1782,129 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select(
         "vec_id", "channels", "sample_rate", "duration_ms"
     ).orderBy("vec_id")
+
+
+@register(
+    "media_decode_stats",
+    oracle="""
+    SELECT 'image' AS kind, e.vec_id,
+           16 AS width, 16 AS height,
+           CAST(SUM((e.vec_id*7 + g.p*g.p + 0)  % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((e.vec_id*7 + g.p*g.p + 5)  % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((e.vec_id*7 + g.p*g.p + 10) % 256) AS BIGINT) AS sum_b,
+           CAST(NULL AS INTEGER) AS channels,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           CAST(NULL AS INTEGER) AS duration_ms
+    FROM embeddings e CROSS JOIN generate_series(0, 255) AS g(p)
+    GROUP BY e.vec_id
+    UNION ALL
+    SELECT 'audio' AS kind, vec_id,
+           CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+           CAST(NULL AS BIGINT) AS sum_b,
+           1 AS channels, 8000 AS sample_rate,
+           CAST(ROUND(1000.0 * (4000 + (vec_id % 64) * 24) / 8000) AS INT) AS duration_ms
+    FROM embeddings
+    ORDER BY kind, vec_id
+    """,
+)
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image AND audio decode through one gate entry (r4: absorbs
+    r2-r3's media_image_stats + media_audio_stats to keep the registry in
+    the driver's 50-query window — both legs unchanged, docstrings on the
+    helper functions above)."""
+    inull = F.lit(None).cast("int")
+    lnull = F.lit(None).cast("long")
+    img = _media_image_stats(spark, sf_dir).select(
+        F.lit("image").alias("kind"), "vec_id", "width", "height",
+        "sum_r", "sum_g", "sum_b",
+        inull.alias("channels"), inull.alias("sample_rate"),
+        inull.alias("duration_ms"),
+    )
+    aud = _media_audio_stats(spark, sf_dir).select(
+        F.lit("audio").alias("kind"), "vec_id",
+        inull.alias("width"), inull.alias("height"),
+        lnull.alias("sum_r"), lnull.alias("sum_g"), lnull.alias("sum_b"),
+        "channels", "sample_rate", "duration_ms",
+    )
+    return img.unionByName(aud).orderBy("kind", "vec_id")
+
+
+@register(
+    "cdx_urlkey_agg",
+    oracle="""
+    WITH u AS (
+      SELECT lang, lower(
+        'https://WWW.' || source || '-' || lang || '.Example.COM'
+        || CASE WHEN doc_id % 4 = 2 THEN ':8080'
+                WHEN doc_id % 4 = 3 THEN ':443' ELSE '' END
+        || '/Docs/' || doc_id
+        || CASE WHEN doc_id % 4 = 1 THEN '?beta=2&alpha=1'
+                WHEN doc_id % 4 = 2 THEN '/'
+                WHEN doc_id % 4 = 3 THEN '#frag' ELSE '' END) AS lu
+      FROM documents),
+    k AS (
+      SELECT lang,
+        array_to_string(list_reverse(string_split(
+            regexp_replace(regexp_extract(
+                regexp_extract(lu, '//([^/?#]+)', 1), '^([^:]+)', 1),
+              '^www\\.', ''), '.')), ',')
+        || CASE WHEN regexp_extract(regexp_extract(lu, '//([^/?#]+)', 1),
+                                    ':([0-9]+)$', 1) IN ('', '80', '443')
+                THEN '' ELSE ':' || regexp_extract(
+                    regexp_extract(lu, '//([^/?#]+)', 1), ':([0-9]+)$', 1) END
+        || ')'
+        || CASE WHEN regexp_extract(lu, '^[a-z][a-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) = ''
+                THEN '/'
+                ELSE regexp_replace(regexp_extract(
+                    lu, '^[a-z][a-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '/$', '') END
+        || CASE WHEN regexp_extract(lu, '\\?([^#]*)', 1) = '' THEN ''
+                ELSE '?' || array_to_string(list_sort(string_split(
+                    regexp_extract(lu, '\\?([^#]*)', 1), '&')), '&') END
+        AS urlkey
+      FROM u)
+    SELECT lang, COUNT(*) AS n_urls,
+           COUNT(DISTINCT urlkey) AS n_keys,
+           MIN(urlkey) AS min_key, MAX(urlkey) AS max_key,
+           CAST(SUM(LENGTH(urlkey)) AS BIGINT) AS sum_key_chars
+    FROM k GROUP BY lang ORDER BY lang
+    """,
+)
+def cdx_urlkey_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT urlkey canonicalization (sources/cdx.py) oracle-checked on
+    closed-form urls built from the documents table: mixed case, a
+    ``www.`` prefix to strip, default (:443) and non-default (:8080)
+    ports, unsorted query params, a trailing slash, and a fragment —
+    every CDX rule exercised, and DuckDB must reproduce each derived key
+    exactly (min/max/length aggregates over the full key strings). The
+    offset/digest/mime fields of full CDX records ride the records scan
+    and are covered by the WARC-fixture tests (tests/test_cdx.py)."""
+    from .sources.cdx import surt_key
+
+    d = t(spark, sf_dir, "documents")
+    b = F.col("doc_id") % 4
+    url = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit("-"), F.col("lang"),
+        F.lit(".Example.COM"),
+        F.when(b == 2, F.lit(":8080")).when(b == 3, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"), F.col("doc_id"),
+        F.when(b == 1, F.lit("?beta=2&alpha=1"))
+        .when(b == 2, F.lit("/"))
+        .when(b == 3, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    return (
+        d.select("lang", surt_key(url).alias("urlkey"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("urlkey").alias("n_keys"),
+            F.min("urlkey").alias("min_key"),
+            F.max("urlkey").alias("max_key"),
+            F.sum(F.length("urlkey")).alias("sum_key_chars"),
+        )
+        .orderBy("lang")
+    )
 
 
 @register(
@@ -2107,6 +2209,8 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHANGED_FIRST = [
     # new in r4
     "http_response_split_agg",
+    "cdx_urlkey_agg",
+    "media_decode_stats",
     # changed in r4 (oracle fix / merged entries / recall columns)
     "doc_html_extract_agg",
     "doc_token_stats",

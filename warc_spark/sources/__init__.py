@@ -1,3 +1,10 @@
+from .cdx import (  # noqa: F401
+    cdx_lines,
+    cdx_records,
+    read_cdx,
+    surt_key,
+    write_cdx,
+)
 from .warc_source import (  # noqa: F401
     HTTP_SPLIT_SCHEMA,
     MEMBER_INDEX_SCHEMA,

@@ -1,0 +1,162 @@
+"""CDX capture-index generation — the standard web-archive index format.
+
+The reference library reads and writes WARC/ARC files but offers no index;
+every real archive pairs its WARCs with CDX files (the Internet Archive /
+OpenWayback / pywb lookup format) so a capture can be fetched by url +
+timestamp without scanning the archive. This module derives CDX11-style
+records from the engine's records table entirely with JVM expressions
+(urlkey, timestamp) plus the already-promoted HTTP columns (mime, status)
+and the member geometry the scan already carries (offset, length) — no
+second pass over the archive bytes.
+
+SURT urlkey (``surt_key``): the canonicalization is a DOCUMENTED
+DETERMINISTIC SUBSET of wayback's, chosen to be replayable both as Spark
+built-ins (codegen, no UDF) and as an ANSI-SQL oracle:
+
+1. lowercase the whole url;
+2. host = authority minus port; a leading ``www.`` is stripped;
+3. host labels reversed and comma-joined (``com,example``); a non-default
+   port (not 80/443) is kept as ``:port``;
+4. ``)`` separator, then the path — empty path becomes ``/``, a trailing
+   slash is stripped (except the bare root);
+5. query (if any): params split on ``&``, sorted lexicographically,
+   ``&``-joined, appended after ``?``; the fragment is dropped.
+
+Line layout (``cdx_lines``): the classic space-separated 11-field form
+``urlkey timestamp original mimetype statuscode digest redirect
+robotflags length offset filename`` with ``-`` for n/a — the layout CDX
+headers describe as ``N b a m s k r M S V g``.
+
+At scale: ``write_cdx`` produces a GLOBALLY range-ordered set of part
+files (repartitionByRange on (urlkey, timestamp) + sortWithinPartitions)
+— the exact layout a binary-searchable CDX collection needs, built with
+one range shuffle of slim string rows, never the payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CDX_FIELDS = (
+    "urlkey timestamp original mimetype statuscode digest "
+    "redirect robotflags length offset filename"
+).split()
+
+
+def surt_key(url: Column) -> Column:
+    """SURT canonical urlkey (rules in the module docstring). Pure Spark
+    built-ins — stays inside whole-stage codegen."""
+    u = F.lower(url)
+    hostport = F.regexp_extract(u, r"//([^/?#]+)", 1)
+    host = F.regexp_extract(hostport, r"^([^:]+)", 1)
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    keep_port = (port != "") & (port != "80") & (port != "443")
+    revp = F.when(keep_port, F.concat(rev, F.lit(":"), port)).otherwise(rev)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(path != "/", F.regexp_replace(path, r"/$", "")).otherwise(path)
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    qs = F.array_join(F.array_sort(F.split(q, "&")), "&")
+    return F.when(q == "", F.concat(revp, F.lit(")"), path)).otherwise(
+        F.concat(revp, F.lit(")"), path, F.lit("?"), qs)
+    )
+
+
+def _payload_b32_kernel(payloads):
+    """payload bytes -> plain base32 sha1 (the encoding CDX files carry).
+    Computed from the bytes rather than trusting a WARC-Payload-Digest
+    header that many writers omit; like the reference, the digest covers
+    the WHOLE payload (warc/warc.py:156-157)."""
+    import base64
+    import hashlib
+
+    import pandas as pd
+
+    return pd.Series(
+        [
+            base64.b32encode(hashlib.sha1(bytes(p)).digest()).decode("ascii")
+            if p is not None
+            else None
+            for p in payloads
+        ],
+        index=payloads.index,
+    )
+
+
+def cdx_records(records: DataFrame, filename: str | Column = "filename") -> DataFrame:
+    """records table (``read_warc`` / ``read_arc`` output) -> typed CDX
+    rows. Response records only (the captures a replay index serves);
+    mime/status come from the HTTP split, the digest is the scan's sha1
+    re-encoded base32, redirect is the Location header for 3xx, and
+    offset/length are the member geometry the scan already measured.
+
+    ``filename`` names an existing column (default the scan's
+    ``filename``) or passes a literal Column for single-file exports."""
+    from pyspark.sql.types import StringType
+
+    from .warc_source import split_http_payload
+
+    fname = F.col(filename) if isinstance(filename, str) else filename
+    b32 = F.pandas_udf(_payload_b32_kernel, StringType())
+    sp = split_http_payload(
+        records.filter(
+            (F.col("warc_type") == "response") & F.col("target_uri").isNotNull()
+        )
+    )
+    dash = F.lit("-")
+    redirect = F.when(
+        (F.col("http_status") >= 300)
+        & (F.col("http_status") < 400)
+        & F.col("http_headers").getItem("location").isNotNull(),
+        F.col("http_headers")["location"],
+    ).otherwise(dash)
+    return sp.select(
+        surt_key(F.col("target_uri")).alias("urlkey"),
+        F.date_format("warc_date", "yyyyMMddHHmmss").alias("timestamp"),
+        F.col("target_uri").alias("original"),
+        F.coalesce(F.col("http_content_type"), F.lit("unk")).alias("mimetype"),
+        F.coalesce(F.col("http_status").cast("string"), dash).alias("statuscode"),
+        F.coalesce(b32(F.col("payload")), dash).alias("digest"),
+        redirect.alias("redirect"),
+        dash.alias("robotflags"),
+        F.col("size").cast("string").alias("length"),
+        F.col("offset").cast("string").alias("offset"),
+        F.element_at(F.split(fname, "/"), -1).alias("filename"),
+    )
+
+
+def cdx_lines(cdx: DataFrame) -> DataFrame:
+    """Typed CDX rows -> the classic space-separated 11-field line (plus
+    the sort key columns, so writers can order without re-deriving)."""
+    return cdx.select(
+        "urlkey",
+        "timestamp",
+        F.concat_ws(" ", *CDX_FIELDS).alias("line"),
+    )
+
+
+def write_cdx(cdx: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Write a globally range-ordered CDX part-file set: range-shuffle the
+    slim (urlkey, timestamp, line) rows so part N's keys all precede part
+    N+1's, each part internally sorted — binary-searchable as a collection
+    (the pywb/OutbackCDX layout), no single-node sort bottleneck."""
+    lines = cdx_lines(cdx)
+    if partitions:
+        lines = lines.repartitionByRange(partitions, "urlkey", "timestamp")
+    else:
+        lines = lines.repartitionByRange("urlkey", "timestamp")
+    lines.sortWithinPartitions("urlkey", "timestamp").select("line").write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Parse CDX lines back to the typed columns (inverse of cdx_lines)."""
+    df = spark.read.text(path)
+    parts = F.split(F.col("value"), " ")
+    return df.select(
+        *[parts.getItem(i).alias(name) for i, name in enumerate(CDX_FIELDS)]
+    )
