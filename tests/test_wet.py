@@ -1,0 +1,75 @@
+"""WET / WAT derived-format export (sources/wet.py): conversion records
+carry the extracted text byte-exact, metadata records carry a parseable
+JSON envelope, both round-trip through the engine's own reader, and ids
+are deterministic across parallelism."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from warc_spark.sources import (
+    read_warc,
+    synth_pages,
+    parse_warc_column,
+    wat_records,
+    wet_records,
+    write_wat,
+    write_wet,
+)
+
+
+def test_wet_roundtrip(spark, tmp_path):
+    pages = synth_pages(spark, 80, seed=11, n_hosts=5)
+    out = str(tmp_path / "wet")
+    manifest = write_wet(pages, out).collect()
+    assert sum(m.records for m in manifest) == 80
+    back = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    rows = {r.target_uri: r for r in back.collect()}
+    orig = {r.url: r for r in pages.collect()}
+    assert set(rows) == set(orig)
+    for url, r in rows.items():
+        assert r.warc_type == "conversion"
+        assert r.content_type == "text/plain"
+        assert bytes(r.payload).decode("utf-8") == orig[url].text  # byte-exact
+        assert r.record_id.startswith("<urn:uuid:")
+        assert r.error is None
+
+
+def test_wet_skips_null_text(spark):
+    pages = synth_pages(spark, 20, seed=1).withColumn(
+        "text", F.when(F.col("url").endswith("0"), F.col("text"))
+    )
+    n_nonnull = pages.filter(F.col("text").isNotNull()).count()
+    assert 0 < n_nonnull < 20
+    assert wet_records(pages).count() == n_nonnull
+
+
+def test_wet_ids_deterministic_across_parallelism(spark):
+    pages = synth_pages(spark, 50, seed=3)
+    a = wet_records(pages.repartition(1)).select("headers").collect()
+    b = wet_records(pages.repartition(7)).select("headers").collect()
+    ida = sorted(r.headers["warc-record-id"] for r in a)
+    idb = sorted(r.headers["warc-record-id"] for r in b)
+    assert ida == idb and len(set(ida)) == 50
+
+
+def test_wat_envelope(spark, tmp_path):
+    pages = synth_pages(spark, 30, seed=7, n_hosts=3)
+    recs = parse_warc_column(pages, "html", keep=[])
+    out = str(tmp_path / "wat")
+    write_wat(recs, out).collect()
+    back = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    rows = back.collect()
+    assert len(rows) == 30
+    orig = {r.target_uri: r for r in recs.collect()}
+    for r in rows:
+        assert r.warc_type == "metadata"
+        assert r.content_type == "application/json"
+        env = json.loads(bytes(r.payload).decode("utf-8"))
+        assert env["url"] == r.target_uri
+        assert env["status"] == 200
+        assert env["mime"] == "text/html"
+        assert env["refers_to"] == orig[r.target_uri].record_id
+        assert r.headers["warc-refers-to"] == orig[r.target_uri].record_id
+        assert env["digest"] == orig[r.target_uri].payload_digest

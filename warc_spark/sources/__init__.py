@@ -5,6 +5,12 @@ from .cdx import (  # noqa: F401
     surt_key,
     write_cdx,
 )
+from .wet import (  # noqa: F401
+    wat_records,
+    wet_records,
+    write_wat,
+    write_wet,
+)
 from .warc_source import (  # noqa: F401
     HTTP_SPLIT_SCHEMA,
     MEMBER_INDEX_SCHEMA,

@@ -1,0 +1,144 @@
+"""WET / WAT derived-format export — the Common-Crawl companion files.
+
+Big WARC collections ship with two derived record sets so consumers never
+re-parse the raw captures: WET (``*.warc.wet`` — the extracted plain text
+of each page as WARC ``conversion`` records) and WAT (``*.warc.wat`` —
+per-capture metadata as JSON inside WARC ``metadata`` records). The
+reference library stops at raw records; these generators close that gap
+using only columns the engine already carries — the pages table for WET,
+the records scan + HTTP split for WAT — and reuse the streamed
+``write_warc`` sink, so both exports inherit its one-member-per-record
+gzip layout, bounded memory, and crash-safe part files.
+
+Everything except the final serialize is JVM expressions (record ids are
+deterministic md5-derived uuids over url+date, headers are literal
+map/array constructors, WAT's JSON envelope is ``to_json(struct(...))``)
+— the export adds no Python in the hot path beyond the sink the engine
+already had.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SOFTWARE = "warc-spark"
+
+
+def _uuid_of(*cols: Column) -> Column:
+    """Deterministic uuid-shaped id from the md5 of the given columns —
+    stable across runs and parallelism (the engine's injectable-id rule;
+    kernels/warcrec.make_record)."""
+    h = F.md5(F.concat_ws("\n", *cols))
+    return F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12), F.lit(">"),
+    )
+
+
+def _date_str(ts: Column) -> Column:
+    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def _sink_rows(wtype: str, uri: Column, date: Column, ctype: str, payload: Column, extra: list[tuple[str, Column]] = ()) -> list[Column]:
+    """(header_names, headers, payload) columns for the write_warc sink:
+    names carry wire spellings/order, the map is keyed lowercase."""
+    names = (
+        ["WARC-Type", "WARC-Record-ID", "WARC-Date", "WARC-Target-URI"]
+        + [n for n, _ in extra]
+        + ["Content-Type", "Content-Length"]
+    )
+    vals: list[tuple[str, Column]] = [
+        ("WARC-Type", F.lit(wtype)),
+        ("WARC-Record-ID", _uuid_of(F.lit(wtype), uri, date)),
+        ("WARC-Date", date),
+        ("WARC-Target-URI", uri),
+        *extra,
+        ("Content-Type", F.lit(ctype)),
+        ("Content-Length", F.octet_length(payload).cast("string")),
+    ]
+    hmap = F.create_map(
+        *[x for n, v in vals for x in (F.lit(n.lower()), v)]
+    )
+    return [
+        F.array(*[F.lit(n) for n in names]).alias("header_names"),
+        hmap.alias("headers"),
+        payload.alias("payload"),
+    ]
+
+
+def wet_records(pages: DataFrame) -> DataFrame:
+    """pages table (url, warc_ts, text, ...) -> sink-ready WET rows:
+    one ``conversion`` record per page, payload = the extracted text
+    (utf-8), ids deterministic. Null-text pages (fetch misses) are
+    skipped, as in real WET sets."""
+    p = pages.filter(F.col("text").isNotNull())
+    payload = F.encode(F.col("text"), "UTF-8")
+    return p.select(
+        *_sink_rows(
+            "conversion",
+            F.col("url"),
+            _date_str(F.col("warc_ts")),
+            "text/plain",
+            payload,
+        )
+    )
+
+
+def wat_records(records: DataFrame) -> DataFrame:
+    """records scan -> sink-ready WAT rows: one ``metadata`` record per
+    response capture, payload = a JSON envelope with the capture's HTTP
+    facts (status, mime, headers) and geometry (offset, length, digest) —
+    built by ``to_json(struct(...))``, all JVM-side."""
+    from .warc_source import split_http_payload
+
+    sp = split_http_payload(
+        records.filter(
+            (F.col("warc_type") == "response") & F.col("target_uri").isNotNull()
+        ),
+        drop_payload=True,
+    )
+    env = F.to_json(
+        F.struct(
+            F.col("target_uri").alias("url"),
+            _date_str(F.col("warc_date")).alias("warc_date"),
+            F.col("http_status").alias("status"),
+            F.col("http_content_type").alias("mime"),
+            F.col("http_headers").alias("http_headers"),
+            F.col("payload_digest").alias("digest"),
+            F.col("offset").alias("offset"),
+            F.col("size").alias("length"),
+            F.col("record_id").alias("refers_to"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    extra = [("WARC-Refers-To", F.col("record_id"))]
+    return sp.select(
+        *_sink_rows(
+            "metadata",
+            F.col("target_uri"),
+            _date_str(F.col("warc_date")),
+            "application/json",
+            F.encode(env, "UTF-8"),
+            extra,
+        )
+    )
+
+
+def write_wet(pages: DataFrame, out_dir: str, compress: bool = True) -> DataFrame:
+    """WET export through the streamed distributed WARC sink (manifest
+    DataFrame is the action)."""
+    from .warc_source import write_warc
+
+    return write_warc(wet_records(pages), out_dir, compress=compress)
+
+
+def write_wat(records: DataFrame, out_dir: str, compress: bool = True) -> DataFrame:
+    """WAT export through the streamed distributed WARC sink."""
+    from .warc_source import write_warc
+
+    return write_warc(wat_records(records), out_dir, compress=compress)
