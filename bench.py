@@ -28,7 +28,7 @@ HEADLINE = [
     "doc_minhash_near_dups",
     "doc_quality_features",
     "emb_cosine_top10",
-    "emb_ann_lsh_top10",
+    "emb_ann_top10",
     "warc_parse_agg",
 ]
 

@@ -1005,6 +1005,104 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _pii_synth_sql() -> str:
+    """DuckDB expression building the deterministic PII-bearing text the
+    Spark query constructs (the synthetic documents carry no PII, so the
+    query plants some — identically on both sides — to keep the oracle
+    non-vacuous)."""
+    return (
+        "CASE WHEN doc_id % 3 = 0 THEN 'contact u' || CAST(doc_id AS VARCHAR)"
+        " || '@m' || CAST(doc_id % 7 AS VARCHAR) || '.example.com ' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN 'call (555) '"
+        " || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN 'ip 10.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+        " || CAST(doc_id % 100 AS VARCHAR) || ' ' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN 'ssn 123-45-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN 'card 4111 1111 1111 '"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END"
+        " || text"
+    )
+
+
+def _pii_oracle() -> str:
+    from .functions.pii import pii_scrub_oracle_ctes
+
+    ctes, final = pii_scrub_oracle_ctes("pii_base")
+    return f"""
+    WITH pii_base AS (
+      SELECT lang, length(text) AS raw_len, {_pii_synth_sql()} AS text
+      FROM documents),
+    {ctes}
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pii_email) AS BIGINT) AS emails,
+           CAST(SUM(pii_ssn) AS BIGINT) AS ssns,
+           CAST(SUM(pii_cc) + SUM(pii_cc_plain) AS BIGINT) AS cards,
+           CAST(SUM(pii_ipv4) AS BIGINT) AS ips,
+           CAST(SUM(pii_phone) AS BIGINT) AS phones,
+           CAST(SUM(CASE WHEN pii_total > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(SUM(length(text) - length(text_clean)) AS BIGINT)
+             AS chars_removed
+    FROM {final} GROUP BY lang ORDER BY lang
+    """
+
+
+@register("doc_pii_scrub_agg", oracle=_pii_oracle())
+def doc_pii_scrub_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/pii.py): redact emails / SSNs / cards /
+    IPv4s / phones via an ordered regexp_replace chain (Java∩RE2 pattern
+    subset, staged counts, map-only codegen — zero shuffle before the
+    final agg). Synthetic PII is planted deterministically from doc_id
+    (the corpus has none) and the oracle replays both the planting and
+    the full scrub chain in DuckDB."""
+    from .functions.pii import scrub_pii
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+
+    def opt(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    synth = F.concat(
+        opt(did % 3 == 0, F.lit("contact u"), s, F.lit("@m"),
+            (did % 7).cast("string"), F.lit(".example.com ")),
+        opt(did % 4 == 0, F.lit("call (555) "),
+            F.lpad((did % 900 + 100).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"), F.lit(" ")),
+        opt(did % 5 == 0, F.lit("ip 10."), (did % 256).cast("string"),
+            F.lit(".0."), (did % 100).cast("string"), F.lit(" ")),
+        opt(did % 7 == 0, F.lit("ssn 123-45-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"), F.lit(" ")),
+        opt(did % 11 == 0, F.lit("card 4111 1111 1111 "),
+            F.lpad((did % 10000).cast("string"), 4, "0"), F.lit(" ")),
+        F.col("text"),
+    )
+    scrubbed = scrub_pii(
+        d.select("lang", synth.alias("text")), text_col="text"
+    )
+    return (
+        scrubbed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("pii_email").alias("emails"),
+            F.sum("pii_ssn").alias("ssns"),
+            (F.sum("pii_cc") + F.sum("pii_cc_plain")).alias("cards"),
+            F.sum("pii_ipv4").alias("ips"),
+            F.sum("pii_phone").alias("phones"),
+            F.sum((F.col("pii_total") > 0).cast("bigint"))
+            .alias("docs_with_pii"),
+            F.sum(F.length("text") - F.length("text_clean"))
+            .alias("chars_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
 # =========================================================================
 # Embeddings: similarity search
 # =========================================================================
@@ -1031,34 +1129,35 @@ def emb_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(e, qvec, k=10)
 
 
-@register("emb_ann_lsh_top10")
-def emb_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (the 10^9-vector scale path).
+@register("emb_ann_top10")
+def emb_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both approximate top-k scale paths in one result, tagged by
+    ``method``: LSH (hyperplane-bucketed scan pruning) and IVF
+    (deterministic spherical-kmeans coarse cells, nprobe-cell scan,
+    exact rerank / partition-pruned on-disk layout).
 
     Deliberately rows-only: on the gate corpus the exact top-10 tail is
     near-noise (cosine ~0.28), which no honest pruning recalls at 1.0 —
-    but the result is SELF-verifying (VERDICT r3 #8): every row carries
-    ``recall_at_10`` measured against the brute-force twin computed in the
-    same plan (floor asserted in tests/test_functions.py). The near-dup
-    queries (which DO have exact-recall guarantees) carry the brute-force
-    oracles."""
+    but each method is SELF-verifying (VERDICT r3 #8): every row carries
+    ``recall_at_10`` measured against the brute-force twin computed in
+    the same plan (floors asserted in tests/test_functions.py). The
+    near-dup queries (which DO have exact-recall guarantees) carry the
+    brute-force oracles. (r4: merges the former emb_ann_lsh_top10 +
+    emb_ann_ivf_top10 entries to keep the registry inside the driver's
+    50-query window.)"""
     e = t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
-    ann = similarity.cosine_topk_lsh(e, qvec, k=10, n_planes=6, probe_hamming=2)
     exact = similarity.cosine_topk_bruteforce(e, qvec, k=10)
-    return similarity.with_recall_at_k(ann, exact, k=10)
-
-
-@register("emb_ann_ivf_top10")
-def emb_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: deterministic spherical-kmeans coarse cells,
-    nprobe-cell scan, exact rerank (the partition-pruned scale path).
-    Rows-only + self-verifying ``recall_at_10``, as emb_ann_lsh_top10."""
-    e = t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
-    ann = similarity.cosine_topk_ivf(e, qvec, k=10, n_cells=16, nprobe=4)
-    exact = similarity.cosine_topk_bruteforce(e, qvec, k=10)
-    return similarity.with_recall_at_k(ann, exact, k=10)
+    lsh = similarity.cosine_topk_lsh(e, qvec, k=10, n_planes=6, probe_hamming=2)
+    ivf = similarity.cosine_topk_ivf(e, qvec, k=10, n_cells=16, nprobe=4)
+    return (
+        similarity.with_recall_at_k(lsh, exact, k=10)
+        .withColumn("method", F.lit("lsh"))
+        .unionByName(
+            similarity.with_recall_at_k(ivf, exact, k=10)
+            .withColumn("method", F.lit("ivf"))
+        )
+    )
 
 
 @register(
