@@ -1,0 +1,106 @@
+"""CLI subcommands (python -m warc_spark ...) driven in-process: compact
+(revisit dedup) and the wet/wat/cdx derived-format exports. get_spark is
+monkeypatched to the shared test session (and stop() to a no-op) so the
+CLI runs against the fixture JVM instead of booting its own."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import SparkSession
+
+from warc_spark import __main__ as cli
+from warc_spark.kernels.gzipmember import compress_records_as_members
+from warc_spark.kernels.warcrec import make_record
+
+
+def _http_html(i: int, body_tag: int) -> bytes:
+    body = (
+        b"<html><head><title>t%d</title></head>"
+        b"<body><p>shared body %d</p>"
+        b'<a href="http://link.example/%d">x</a></body></html>'
+        % (i, body_tag, body_tag)
+    )
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Length: %d\r\n\r\n%s" % (len(body), body)
+    )
+
+
+@pytest.fixture(scope="module")
+def cli_warc(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    records = [
+        make_record(
+            # 8 records over 4 distinct payloads -> 4 revisits
+            payload=_http_html(i % 4, i % 4),
+            warc_type="response",
+            headers=[
+                ("WARC-Target-URI", "http://cli.example/%d" % i),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            record_id="00000000-0000-0000-0000-%012d" % i,
+            date="2026-08-02T00:00:%02dZ" % i,
+        ).to_bytes()
+        for i in range(8)
+    ]
+    path = str(d / "cli.warc.gz")
+    with open(path, "wb") as f:
+        f.write(compress_records_as_members(records))
+    return path
+
+
+@pytest.fixture(autouse=True)
+def _patched_session(spark, monkeypatch):
+    import warc_spark.plans as plans
+
+    monkeypatch.setattr(plans, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    yield
+
+
+def _run(capsys, argv) -> dict:
+    assert cli.main(argv) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_compact_subcommand(spark, cli_warc, tmp_path, capsys):
+    out = str(tmp_path / "compacted")
+    res = _run(capsys, ["compact", "--warc", cli_warc, "--out", out])
+    assert res["records"] == 8 and res["revisits"] == 4
+    from warc_spark.sources import read_warc
+
+    back = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    types = {r["warc_type"]: r["count"] for r in
+             back.groupBy("warc_type").count().collect()}
+    assert types == {"response": 4, "revisit": 4}
+
+
+def test_export_wet(spark, cli_warc, tmp_path, capsys):
+    out = str(tmp_path / "wet")
+    res = _run(capsys, ["export", "--warc", cli_warc, "--out", out,
+                        "--format", "wet"])
+    assert res["records"] == 8
+    from warc_spark.sources import read_warc
+
+    wet = read_warc(spark, os.path.join(out, "*.warc.gz")).collect()
+    assert all(r.warc_type == "conversion" for r in wet)
+    assert any(b"shared body" in bytes(r.payload) for r in wet)
+
+
+def test_export_wat(spark, cli_warc, tmp_path, capsys):
+    out = str(tmp_path / "wat")
+    res = _run(capsys, ["export", "--warc", cli_warc, "--out", out,
+                        "--format", "wat"])
+    assert res["records"] == 8
+
+
+def test_export_cdx(spark, cli_warc, tmp_path, capsys):
+    out = str(tmp_path / "cdx")
+    res = _run(capsys, ["export", "--warc", cli_warc, "--out", out,
+                        "--format", "cdx"])
+    assert res["entries"] == 8
+    from warc_spark.sources.cdx import read_cdx
+
+    keys = [r.urlkey for r in read_cdx(spark, out).collect()]
+    assert len(keys) == 8 and all(k.startswith("example,cli)") for k in keys)

@@ -142,6 +142,20 @@ class TestReader:
         recs = list(parse_warc_stream(bad, strict=False))
         assert recs[0].error == "missing footer"
 
+    def test_warc11_strict_rejects_lax_parses(self):
+        """Strict = the reference contract (1.0 only, warc/warc.py:316-318);
+        lax additionally parses WARC/1.1 (same framing, fractional-second
+        dates) since real archive sets mix revisions."""
+        rec11 = SAMPLE_WARC_RECORD_TEXT.replace(b"WARC/1.0", b"WARC/1.1", 1)
+        with pytest.raises(IOError):
+            list(parse_warc_stream(rec11))
+        recs = list(parse_warc_stream(rec11, strict=False))
+        assert recs[0].error is None
+        assert recs[0].version == "1.1"
+        # 2.x framing is NOT assumed compatible — still an error row in lax
+        rec2 = SAMPLE_WARC_RECORD_TEXT.replace(b"WARC/1.0", b"WARC/2.0", 1)
+        assert list(parse_warc_stream(rec2, strict=False))[0].error
+
 
 class TestGzipMembers:
     def test_write_member_per_record(self):

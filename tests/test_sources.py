@@ -592,3 +592,25 @@ def test_seeds_from_sitemaps(spark):
     }
     # feeds the frontier seed path directly (url + priority columns)
     assert set(seeds.columns) == {"url", "priority"}
+
+
+def test_read_warc11_lax_with_fractional_date(spark, tmp_path):
+    """WARC/1.1 segments (fractional-second WARC-Date, ISO revision) parse
+    in the default lax scan: no error rows, version column carries 1.1,
+    and the date lands on the general ISO-8601 parse path."""
+    rec = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Date: 2026-08-02T10:20:30.123456Z\r\n"
+        b"WARC-Target-URI: http://v11.example/a\r\n"
+        b"Content-Length: 5\r\n"
+        b"\r\nhello\r\n\r\n"
+    )
+    p = str(tmp_path / "v11.warc")
+    with open(p, "wb") as f:
+        f.write(rec)
+    rows = read_warc(spark, p).collect()
+    assert len(rows) == 1 and rows[0].error is None
+    assert rows[0].version == "1.1"
+    assert rows[0].warc_date.microsecond == 123456
+    assert rows[0].payload == b"hello"

@@ -104,6 +104,29 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     g.add_argument("--master", default=None)
 
+    k = sub.add_parser(
+        "compact",
+        help="rewrite a WARC set with identical-payload-digest revisit "
+             "dedup (operators/revisit.py) — non-first captures of each "
+             "payload become slim revisit records",
+    )
+    k.add_argument("--warc", required=True, help="WARC path/glob (*.warc[.gz])")
+    k.add_argument("--out", required=True, help="output dir for deduped parts")
+    k.add_argument("--no-compress", action="store_true")
+    k.add_argument("--master", default=None)
+
+    e = sub.add_parser(
+        "export",
+        help="derived formats from a WARC set: WET (extracted-text "
+             "conversion records), WAT (JSON metadata envelopes), or a "
+             "CDX capture index with SURT urlkeys",
+    )
+    e.add_argument("--warc", required=True, help="WARC path/glob (*.warc[.gz])")
+    e.add_argument("--out", required=True, help="output dir")
+    e.add_argument("--format", choices=("wet", "wat", "cdx"), required=True)
+    e.add_argument("--no-compress", action="store_true")
+    e.add_argument("--master", default=None)
+
     x = sub.add_parser(
         "index",
         help="offset index for WARC (gzip members) or ARC (records) -> "
@@ -134,6 +157,62 @@ def main(argv: list[str] | None = None) -> int:
         pages.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"pages": n, "out": args.out}))
+        spark.stop()
+        return 0
+    if args.cmd == "compact":
+        from pyspark.sql import functions as F
+
+        from .operators.revisit import revisit_dedup
+        from .plans import get_spark
+        from .sources import read_warc
+        from .sources.warc_source import write_warc
+
+        spark = get_spark(app="warc_spark_compact", master=args.master)
+        dd = revisit_dedup(read_warc(spark, args.warc))
+        manifest = write_warc(
+            dd, args.out, compress=not args.no_compress
+        ).collect()
+        n_rev = dd.where(F.col("is_revisit")).count()
+        print(json.dumps({
+            "records": sum(m.records for m in manifest),
+            "revisits": n_rev,
+            "bytes": sum(m.bytes for m in manifest),
+            "parts": len(manifest),
+            "out": args.out,
+        }))
+        spark.stop()
+        return 0
+    if args.cmd == "export":
+        from .plans import get_spark
+        from .sources import read_warc
+
+        spark = get_spark(app="warc_spark_export", master=args.master)
+        records = read_warc(spark, args.warc)
+        if args.format == "wet":
+            from .sources.pages import pages_from_records
+            from .sources.wet import write_wet
+
+            manifest = write_wet(
+                pages_from_records(records, extractor="html"),
+                args.out, compress=not args.no_compress,
+            ).collect()
+            out = {"records": sum(m.records for m in manifest),
+                   "bytes": sum(m.bytes for m in manifest)}
+        elif args.format == "wat":
+            from .sources.wet import write_wat
+
+            manifest = write_wat(
+                records, args.out, compress=not args.no_compress
+            ).collect()
+            out = {"records": sum(m.records for m in manifest),
+                   "bytes": sum(m.bytes for m in manifest)}
+        else:
+            from .sources.cdx import cdx_records, read_cdx, write_cdx
+
+            write_cdx(cdx_records(records), args.out)
+            out = {"entries": read_cdx(spark, args.out).count()}
+        out["out"] = args.out
+        print(json.dumps(out))
         spark.stop()
         return 0
     if args.cmd == "index":

@@ -35,6 +35,8 @@ from dataclasses import dataclass, field
 RE_VERSION = re.compile(rb"WARC/(\d+\.\d+)\r\n")
 RE_HEADER = re.compile(rb"([a-zA-Z_\-]+): *(.*)\r\n", re.DOTALL)
 SUPPORTED_VERSIONS = ("1.0",)
+# lax-mode extras: versions whose record framing matches 1.0 byte-for-byte
+LAX_VERSIONS = ("1.0", "1.1")
 
 CONTENT_TYPES = {
     "warcinfo": "application/warc-fields",
@@ -242,13 +244,19 @@ def _parse_one(data: bytes, pos: int, strict: bool) -> tuple[WARCRecord | None, 
         return WARCRecord([], b"", offset=start, error="bad version line"), len(data)
     version = m.group(1).decode()
     if version not in SUPPORTED_VERSIONS:
-        if strict:
-            raise WARCFormatError("Unsupported WARC version: %s" % version)
-        return (
-            WARCRecord([], b"", version=version, offset=start,
-                       error=f"unsupported version {version}"),
-            len(data),
-        )
+        # strict == the reference contract: 1.0 ONLY (warc/warc.py:316-318,
+        # SUPPORTED_VERSIONS). Lax additionally PARSES the later ISO
+        # revisions (1.1 adds fractional-second WARC-Dates; the framing is
+        # identical), since real archive sets mix 1.0 and 1.1 segments —
+        # the record's own `version` column carries what the file said.
+        if strict or version not in LAX_VERSIONS:
+            if strict:
+                raise WARCFormatError("Unsupported WARC version: %s" % version)
+            return (
+                WARCRecord([], b"", version=version, offset=start,
+                           error=f"unsupported version {version}"),
+                len(data),
+            )
     pos = eol + 2
 
     headers: list[tuple[str, str]] = []

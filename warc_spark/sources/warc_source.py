@@ -488,9 +488,17 @@ def _finalize_batch(rows: list[dict]) -> pd.DataFrame:
     """rows -> batch DataFrame with the date column converted once,
     vectorized (a per-record to_datetime was the parse hot-spot)."""
     out = pd.DataFrame(rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields])
-    out["warc_date"] = pd.to_datetime(
-        out["warc_date"], format="%Y-%m-%dT%H:%M:%SZ", errors="coerce"
-    )
+    raw = out["warc_date"]
+    ts = pd.to_datetime(raw, format="%Y-%m-%dT%H:%M:%SZ", errors="coerce")
+    # WARC 1.1 allows fractional seconds; re-parse only the misses on the
+    # general ISO-8601 path (the fixed format stays the 1.0 hot path)
+    miss = ts.isna() & raw.notna()
+    if miss.any():
+        ts[miss] = (
+            pd.to_datetime(raw[miss], format="ISO8601", errors="coerce", utc=True)
+            .dt.tz_localize(None)
+        )
+    out["warc_date"] = ts
     return out
 
 
