@@ -1,0 +1,174 @@
+"""Host-graph + PageRank operator tests (warc_spark/functions/graph.py):
+hand-computed closed forms, dangling-mass conservation, parallelism
+determinism, and plan shape (pure built-ins, slim exchanges)."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from warc_spark.functions.graph import host_edges, host_of_expr, pagerank
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, weight double")
+
+
+class TestHostEdges:
+    def test_host_extraction_rules(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("http://A.Example.COM/x", ["https://b.example.org:8443/y"]),
+                ("http://trail.example.com./z", ["not-a-url", "ftp://c.d/e"]),
+                ("relative/path", ["http://lost.example.com/"]),
+            ],
+            "url string, out_links array<string>",
+        )
+        got = {
+            (r.src, r.dst): r.weight for r in host_edges(df).collect()
+        }
+        # lower-cased, port kept out of host, trailing dot stripped;
+        # non-absolute urls (either side) drop out entirely
+        assert got == {
+            ("a.example.com", "b.example.org"): 1.0,
+            ("trail.example.com", "c.d"): 1.0,
+        }
+
+    def test_weights_aggregate_per_host_pair(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("http://s.ex/1", ["http://t.ex/a", "http://t.ex/b"]),
+                ("http://s.ex/2", ["http://t.ex/c", "http://u.ex/d"]),
+            ],
+            "url string, out_links array<string>",
+        )
+        got = {(r.src, r.dst): r.weight for r in host_edges(df).collect()}
+        assert got == {("s.ex", "t.ex"): 3.0, ("s.ex", "u.ex"): 1.0}
+
+
+class TestPageRank:
+    def test_one_iteration_closed_form(self, spark):
+        """Two nodes, one edge a->b (b dangles). N=2, pr0=1/2 each.
+        dangling0 = pr0(b) = 0.5.
+        pr1(a) = 0.15/2 + 0.85*(0 + 0.5/2)        = 0.28750
+        pr1(b) = 0.15/2 + 0.85*(0.5 + 0.5/2)      = 0.71250
+        """
+        e = _edges(spark, [("a", "b", 1.0)])
+        got = {r.host: r for r in pagerank(e, iterations=1).collect()}
+        assert got["a"].pagerank == pytest.approx(0.2875, abs=1e-12)
+        assert got["b"].pagerank == pytest.approx(0.7125, abs=1e-12)
+        assert (got["a"].out_degree, got["a"].in_degree) == (1, 0)
+        assert (got["b"].out_degree, got["b"].in_degree) == (0, 1)
+
+    def test_weight_split_closed_form(self, spark):
+        """a links b with weight 3 and c with weight 1 -> b gets 3/4 of
+        a's rank, c 1/4. N=3, pr0=1/3, no dangling... b and c DO dangle.
+        dangling0 = 2/3.
+        pr1(a) = 0.05 + 0.85*(2/3/3)            = 0.238888...
+        pr1(b) = 0.05 + 0.85*(1/3*3/4 + 2/9)    = 0.451388...
+        pr1(c) = 0.05 + 0.85*(1/3*1/4 + 2/9)    = 0.309722...
+        """
+        e = _edges(spark, [("a", "b", 3.0), ("a", "c", 1.0)])
+        got = {r.host: r.pagerank for r in pagerank(e, iterations=1).collect()}
+        third = 1.0 / 3.0
+        dang = 2 * third / 3.0
+        assert got["a"] == pytest.approx(0.05 + 0.85 * dang, abs=1e-12)
+        assert got["b"] == pytest.approx(
+            0.05 + 0.85 * (third * (3.0 / 4.0) + dang), abs=1e-12
+        )
+        assert got["c"] == pytest.approx(
+            0.05 + 0.85 * (third * (1.0 / 4.0) + dang), abs=1e-12
+        )
+
+    def test_mass_conserved_over_iterations(self, spark):
+        e = _edges(
+            spark,
+            [
+                ("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0),
+                ("a", "d", 1.0),  # d dangles
+            ],
+        )
+        for k in (1, 3, 5):
+            total = pagerank(e, iterations=k).agg(F.sum("pagerank")).first()[0]
+            assert total == pytest.approx(1.0, abs=1e-9)
+
+    def test_deterministic_across_parallelism(self, spark):
+        rows = [
+            (f"h{i % 11}", f"h{(i * 7 + 3) % 11}", float(1 + i % 4))
+            for i in range(200)
+        ]
+        e1 = _edges(spark, rows).coalesce(1)
+        e2 = _edges(spark, rows).repartition(13)
+        r1 = {
+            r.host: round(r.pagerank, 9)
+            for r in pagerank(e1, iterations=3).collect()
+        }
+        r2 = {
+            r.host: round(r.pagerank, 9)
+            for r in pagerank(e2, iterations=3).collect()
+        }
+        assert r1 == r2
+
+    def test_self_loop_supported(self, spark):
+        e = _edges(spark, [("a", "a", 1.0), ("a", "b", 1.0), ("b", "a", 1.0)])
+        got = {r.host: r.pagerank for r in pagerank(e, iterations=4).collect()}
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+        assert got["a"] > got["b"]  # a keeps half its own rank + all of b's
+
+    def test_persist_every_same_result(self, spark):
+        e = _edges(spark, [("a", "b", 1.0), ("b", "a", 2.0), ("b", "c", 1.0)])
+        plain = {
+            r.host: round(r.pagerank, 12)
+            for r in pagerank(e, iterations=4).collect()
+        }
+        cut = {
+            r.host: round(r.pagerank, 12)
+            for r in pagerank(e, iterations=4, persist_every=2).collect()
+        }
+        assert plain == cut
+
+
+class TestPlanShape:
+    def test_no_python_in_pagerank_plan(self, spark):
+        """The whole recurrence is JVM built-ins: no Python UDF / Arrow
+        eval node anywhere, and the 1-row node-count/dangling sides come
+        back as broadcast nested-loop joins, never a shuffle."""
+        e = _edges(spark, [("a", "b", 1.0), ("b", "a", 1.0)])
+        p = _plan(pagerank(e, iterations=2))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "BroadcastNestedLoopJoin" in p
+
+    def test_host_edges_exchange_is_slim(self, spark):
+        """Only (src, dst) host strings reach the aggregate exchange —
+        the page url/out_links columns are projected away map-side."""
+        df = spark.createDataFrame(
+            [("http://s.ex/1", ["http://t.ex/a"])],
+            "url string, out_links array<string>",
+        )
+        p = _plan(host_edges(df))
+        lines = p.splitlines()
+        ex_inputs = [
+            lines[i + 1]
+            for i, ln in enumerate(lines[:-1])
+            if ln.strip().endswith("Exchange") and lines[i + 1].startswith("Input")
+        ]
+        assert ex_inputs and all(
+            "out_links" not in ln and "url" not in ln for ln in ex_inputs
+        )
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_host_of_expr_is_codegen(self, spark):
+        df = spark.range(3).select(
+            F.concat(F.lit("http://h"), F.col("id").cast("string"), F.lit(".ex/p"))
+            .alias("u")
+        )
+        p = _plan(df.select(host_of_expr("u").alias("h")))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

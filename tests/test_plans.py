@@ -18,19 +18,27 @@ def plan_of(df) -> str:
 
 
 def test_q6_pushdown_and_pruning(spark, sf_dir):
-    """TPC-H Q6 shape: every predicate reaches the parquet scan; the scan
-    reads only the 4 referenced columns (of 11)."""
+    """TPC-H Q6 shape (the Q6 leg of the merged q6_q14 entry): every
+    predicate reaches the parquet scan; that scan reads only the 4
+    referenced columns (of 11). The plan also contains the Q14 leg's
+    scans, so locate the Q6 scan by its l_quantity pushdown."""
     from warc_spark.queries import queries
 
-    p = plan_of(queries()["q6_revenue_delta"](spark, sf_dir))
-    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    p = plan_of(queries()["q6_q14_scalar_metrics"](spark, sf_dir))
+    pushed = [
+        ln for ln in p.splitlines()
+        if "PushedFilters" in ln and "l_quantity" in ln
+    ][0]
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
         assert frag in pushed
-    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
-    assert "l_extendedprice" in read
-    # the wide columns must be pruned away
+    reads = [
+        ln for ln in p.splitlines()
+        if "ReadSchema" in ln and "l_quantity" in ln
+    ]
+    assert reads and all("l_extendedprice" in r for r in reads)
+    # the wide columns must be pruned away from the Q6 scan
     for absent in ("l_returnflag", "l_orderkey", "l_tax"):
-        assert absent not in read
+        assert all(absent not in r for r in reads)
 
 
 def test_q3_broadcasts_dimensions(spark, sf_dir):

@@ -1,1 +1,1 @@
-from . import text, dedup, similarity, multimodal  # noqa: F401
+from . import text, dedup, similarity, multimodal, curation, graph, pii  # noqa: F401

@@ -1650,25 +1650,40 @@ def _media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 @register(
-    "q6_revenue_delta",
+    "q6_q14_scalar_metrics",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-           COUNT(*) AS n_items
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
-      AND l_discount BETWEEN 0.02 AND 0.09
-      AND l_quantity < 24
+    SELECT * FROM
+    (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+            COUNT(*) AS n_items
+     FROM lineitem
+     WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+       AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+       AND l_discount BETWEEN 0.02 AND 0.09
+       AND l_quantity < 24),
+    (SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                      ELSE 0 END) AS DOUBLE)
+                  / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                  6) AS promo_pct
+     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+     WHERE l.l_shipdate >= TIMESTAMP '1999-03-01 00:00:00'
+       AND l.l_shipdate <  TIMESTAMP '1999-04-01 00:00:00')
     """,
 )
-def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape: pure scan + conjunctive filter + scalar agg — the
-    predicate-pushdown/column-pruning showcase (explain shows PushedFilters
-    on shipdate/discount/quantity; ReadSchema is 4 columns, never the full
-    table)."""
+def q6_q14_scalar_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 + Q14 shapes, one driver entry (two former entries merged
+    in r4 to free a slot inside the driver's 50-query gate window — the
+    cross join of two 1-row aggregates keeps BOTH value checks). Q6 leg:
+    pure scan + conjunctive filter + scalar agg — the predicate-pushdown/
+    column-pruning showcase (explain shows PushedFilters on
+    shipdate/discount/quantity; ReadSchema is 4 columns, never the full
+    table). Q14 leg: promo revenue percentage — conditional-agg ratio over
+    one month; date range pushes to the scan, part broadcasts."""
     l = t(spark, sf_dir, "lineitem")
-    return (
+    q6 = (
         l.filter(
             (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
@@ -1682,6 +1697,21 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+    l14 = l.filter(
+        (F.col("l_shipdate") >= F.lit("1999-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    q14 = l14.join(F.broadcast(p), l14.l_partkey == p.p_partkey).agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+        ).alias("promo_pct")
+    )
+    return q6.crossJoin(q14)
 
 
 @register(
@@ -2120,40 +2150,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q14_promo_revenue",
-    oracle="""
-    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-                     ELSE 0 END) AS DOUBLE)
-                 / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
-                 6) AS promo_pct
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1999-03-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
-    """,
-)
-def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: promo revenue percentage — conditional-agg ratio
-    over one month. Date range pushes to the scan; part broadcasts."""
-    l = t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1999-03-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1999-04-01").cast("timestamp"))
-    )
-    p = t(spark, sf_dir, "part")
-    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast("decimal(18,2)")
-    )
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
-        F.round(
-            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
-        ).alias("promo_pct")
-    )
-
-
-@register(
     "q19_disjunctive_revenue",
     oracle="""
     SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -2300,6 +2296,118 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "host_graph_pagerank",
+    oracle="""
+    WITH links AS (
+      SELECT 'site' || (doc_id % 7) || '.example.com' AS src,
+             'site' || ((doc_id * 2 + 1) % 7) || '.example.com' AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'site' || (doc_id % 7) || '.example.com',
+             'site' || ((doc_id * 3 + 2) % 7) || '.example.com'
+      FROM documents
+      UNION ALL
+      SELECT 'site' || (doc_id % 7) || '.example.com', 'sink.example.com'
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    edges AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+              FROM links GROUP BY 1, 2),
+    nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS ow, COUNT(*) AS odeg FROM edges GROUP BY 1),
+    ind AS (SELECT dst, COUNT(*) AS ideg FROM edges GROUP BY 1),
+    r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+    d0 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r0
+           WHERE host NOT IN (SELECT src FROM outw)),
+    f0 AS (SELECT e.dst AS host, SUM(r.pr * (e.w / o.ow)) AS flow
+           FROM edges e JOIN outw o ON o.src = e.src
+           JOIN r0 r ON r.host = e.src GROUP BY 1),
+    r1 AS (SELECT n.host,
+                  (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                  + CAST(0.85 AS DOUBLE)
+                    * (COALESCE(f.flow, 0)
+                       + (SELECT dang FROM d0) / (SELECT n FROM nn)) AS pr
+           FROM nodes n LEFT JOIN f0 f ON f.host = n.host),
+    d1 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r1
+           WHERE host NOT IN (SELECT src FROM outw)),
+    f1 AS (SELECT e.dst AS host, SUM(r.pr * (e.w / o.ow)) AS flow
+           FROM edges e JOIN outw o ON o.src = e.src
+           JOIN r1 r ON r.host = e.src GROUP BY 1),
+    r2 AS (SELECT n.host,
+                  (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                  + CAST(0.85 AS DOUBLE)
+                    * (COALESCE(f.flow, 0)
+                       + (SELECT dang FROM d1) / (SELECT n FROM nn)) AS pr
+           FROM nodes n LEFT JOIN f1 f ON f.host = n.host),
+    d2 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r2
+           WHERE host NOT IN (SELECT src FROM outw)),
+    f2 AS (SELECT e.dst AS host, SUM(r.pr * (e.w / o.ow)) AS flow
+           FROM edges e JOIN outw o ON o.src = e.src
+           JOIN r2 r ON r.host = e.src GROUP BY 1),
+    r3 AS (SELECT n.host,
+                  (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                  + CAST(0.85 AS DOUBLE)
+                    * (COALESCE(f.flow, 0)
+                       + (SELECT dang FROM d2) / (SELECT n FROM nn)) AS pr
+           FROM nodes n LEFT JOIN f2 f ON f.host = n.host)
+    SELECT n.host,
+           ROUND(r.pr, 9) AS pagerank,
+           COALESCE(o.odeg, 0) AS out_degree,
+           COALESCE(i.ideg, 0) AS in_degree
+    FROM nodes n JOIN r3 r ON r.host = n.host
+    LEFT JOIN outw o ON o.src = n.host
+    LEFT JOIN ind i ON i.dst = n.host
+    ORDER BY n.host
+    """,
+)
+def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph construction + 3 iterations of weighted PageRank with
+    dangling-mass redistribution (functions/graph.py) — the
+    crawl-prioritization layer (Common Crawl's host-graph/centrality
+    product). A deterministic link topology is synthesized from doc_id
+    (7 'site*' hosts linking by modular arithmetic plus a 'sink' host
+    that never links out, so the dangling path is exercised); the engine
+    runs the REAL operators — ``host_edges`` extracts hosts from full
+    urls and aggregates weighted edges, ``pagerank`` runs the lazy
+    K-iteration recurrence — while the oracle replays the closed-form
+    edge set and all three unrolled iterations in SQL, same
+    parenthesization, per-host ranks rounded to 9 decimals."""
+    from .functions import graph
+
+    d = t(spark, sf_dir, "documents")
+    doc_s = F.col("doc_id").cast("string")
+
+    def site(expr):
+        return F.concat(
+            F.lit("http://site"), expr.cast("string"),
+            F.lit(".example.com/p/"), doc_s,
+        )
+
+    url = site(F.pmod(F.col("doc_id"), F.lit(7)))
+    links = F.filter(
+        F.array(
+            site(F.pmod(F.col("doc_id") * 2 + 1, F.lit(7))),
+            site(F.pmod(F.col("doc_id") * 3 + 2, F.lit(7))),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                F.lit("http://sink.example.com/x"),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    edges = graph.host_edges(
+        d.select(url.alias("url"), links.alias("out_links"))
+    )
+    pr = graph.pagerank(edges, iterations=3, damping=0.85)
+    return pr.select(
+        "host",
+        F.round("pagerank", 9).alias("pagerank"),
+        "out_degree",
+        "in_degree",
+    ).orderBy("host")
+
+
 # The driver's correctness gate checks the FIRST 50 registry entries
 # (VERDICT r3 #2), so emission order is part of the contract: queries that
 # are NEW or CHANGED this round go first, so a partial window always covers
@@ -2307,6 +2415,8 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (insertion) order. Keep the registry <=50 total.
 _CHANGED_FIRST = [
     # new in r4
+    "host_graph_pagerank",
+    "q6_q14_scalar_metrics",
     "http_response_split_agg",
     "cdx_urlkey_agg",
     "media_decode_stats",
@@ -2321,7 +2431,6 @@ _CHANGED_FIRST = [
     # never driver-checked before r4 (registered past the r3 window)
     "q7_volume_shipping",
     "q8_market_share",
-    "q14_promo_revenue",
     "q19_disjunctive_revenue",
     "q16_suppliers_per_brand",
     "q17_small_quantity_revenue",
