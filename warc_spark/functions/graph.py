@@ -67,6 +67,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     persist_every: int = 0,
+    cache_static: bool = True,
 ) -> DataFrame:
     """Weighted PageRank over a ``(src, dst, weight)`` edge table.
 
@@ -82,7 +83,17 @@ def pagerank(
     node: ``(host, pagerank, out_degree, in_degree)`` — degrees are
     distinct-neighbor counts. Deterministic at any parallelism up to
     float-sum ordering (callers comparing across engines should round).
+
+    ``cache_static`` (default on) lazily persists the iteration-invariant
+    frames (normalized edge shares, node set, source-node set) — without
+    it Spark recomputes the edge aggregation subtree once per USE (~4x
+    per iteration; exchange reuse recovers only part of it), which at
+    100 TB means re-scanning the corpus K times. Lazy ``persist`` keeps
+    the whole recurrence action-free and lineage-recoverable; caches
+    belong to the session until it clears them (the GraphX/ALS trade).
     """
+    if cache_static:
+        edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("host"))
         .unionByName(edges.select(F.col("dst").alias("host")))
@@ -97,6 +108,10 @@ def pagerank(
         "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
     )
     src_nodes = out_w.select(F.col("src").alias("host"))
+    if cache_static:
+        nodes = nodes.persist()
+        share = share.persist()
+        src_nodes = src_nodes.persist()
 
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "host", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
