@@ -172,3 +172,49 @@ class TestPlanShape:
         )
         p = _plan(df.select(host_of_expr("u").alias("h")))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestConnectedComponents:
+    def test_two_components_and_chain(self, spark):
+        """A 4-node chain (propagation needs >1 round) plus a separate
+        2-cycle; labels are the lexicographically smallest member."""
+        from warc_spark.functions.graph import connected_components
+
+        e = _edges(
+            spark,
+            [("d", "c", 1.0), ("c", "b", 1.0), ("b", "a", 1.0),
+             ("y", "z", 1.0), ("z", "y", 1.0)],
+        )
+        got = {r.host: r.component for r in connected_components(e).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                       "y": "y", "z": "y"}
+
+    def test_directed_edges_treated_undirected(self, spark):
+        from warc_spark.functions.graph import connected_components
+
+        e = _edges(spark, [("b", "a", 1.0), ("c", "b", 1.0)])
+        got = {r.host: r.component for r in connected_components(e).collect()}
+        assert set(got.values()) == {"a"}
+
+    def test_deterministic_across_parallelism(self, spark):
+        from warc_spark.functions.graph import connected_components
+
+        rows = [(f"h{i}", f"h{(i * 3 + 1) % 40}", 1.0) for i in range(40)]
+        r1 = {
+            r.host: r.component
+            for r in connected_components(_edges(spark, rows).coalesce(1)).collect()
+        }
+        r2 = {
+            r.host: r.component
+            for r in connected_components(
+                _edges(spark, rows).repartition(9)
+            ).collect()
+        }
+        assert r1 == r2 and len(r1) == 40
+
+    def test_isolated_self_loop(self, spark):
+        from warc_spark.functions.graph import connected_components
+
+        e = _edges(spark, [("a", "a", 1.0), ("b", "c", 1.0)])
+        got = {r.host: r.component for r in connected_components(e).collect()}
+        assert got == {"a": "a", "b": "b", "c": "b"}

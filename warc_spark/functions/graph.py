@@ -156,3 +156,65 @@ def pagerank(
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    cache_static: bool = True,
+) -> DataFrame:
+    """Undirected connected components over a ``(src, dst, *)`` edge
+    table by iterated min-label propagation: every node starts labeled
+    with itself; each round a node takes the minimum label among itself
+    and its neighbors; fixpoint = components (label = lexicographically
+    smallest member — deterministic, no hashing). Converges in
+    O(graph diameter) rounds; host graphs are shallow (small-world), so
+    the default cap is generous. Returns ``(host, component)``.
+
+    Unlike ``pagerank`` this loop needs a convergence test, so each round
+    runs ONE metadata-only action: a count over the (label-changed) rows
+    — no row data ever reaches the driver. Each round's labels persist
+    lazily and the previous round unpersists after the check; labels are
+    (host, label) string pairs, slim at any scale. The propagation join
+    is host-keyed both ways (AQE broadcasts while labels fit)."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    if cache_static:
+        sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("host"))
+        .distinct()
+        .select("host", F.col("host").alias("component"))
+    )
+    if cache_static:
+        labels = labels.persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.host)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        nxt = (
+            labels.join(
+                neighbor_min, labels.host == neighbor_min.src, "left"
+            )
+            .select(
+                "host",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+                (F.col("nmin") < F.col("component")).alias("_changed"),
+            )
+            .persist()
+        )
+        changed = nxt.where(F.col("_changed")).count()  # metadata-only action
+        prev, labels = labels, nxt.drop("_changed")
+        prev.unpersist()
+        if changed == 0:
+            break
+    return labels

@@ -2299,7 +2299,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "host_graph_pagerank",
     oracle="""
-    WITH links AS (
+    WITH RECURSIVE links AS (
       SELECT 'site' || (doc_id % 7) || '.example.com' AS src,
              'site' || ((doc_id * 2 + 1) % 7) || '.example.com' AS dst
       FROM documents
@@ -2310,10 +2310,15 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'site' || (doc_id % 7) || '.example.com', 'sink.example.com'
       FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 'isle' || (doc_id % 3) || '.example.org',
+             'isle' || ((doc_id + 1) % 3) || '.example.org'
+      FROM documents WHERE doc_id % 11 = 0
     ),
     edges AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
               FROM links GROUP BY 1, 2),
-    nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+    nodes AS (SELECT DISTINCT host FROM (
+      SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
     outw AS (SELECT src, SUM(w) AS ow, COUNT(*) AS odeg FROM edges GROUP BY 1),
     ind AS (SELECT dst, COUNT(*) AS ideg FROM edges GROUP BY 1),
@@ -2350,14 +2355,24 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + CAST(0.85 AS DOUBLE)
                     * (COALESCE(f.flow, 0)
                        + (SELECT dang FROM d2) / (SELECT n FROM nn)) AS pr
-           FROM nodes n LEFT JOIN f2 f ON f.host = n.host)
+           FROM nodes n LEFT JOIN f2 f ON f.host = n.host),
+    sym AS (SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+    reach AS (
+      SELECT host, host AS m FROM nodes
+      UNION
+      SELECT r.host, s.dst FROM reach r JOIN sym s ON s.src = r.m
+    ),
+    comp AS (SELECT host, MIN(m) AS component FROM reach GROUP BY 1)
     SELECT n.host,
            ROUND(r.pr, 9) AS pagerank,
            COALESCE(o.odeg, 0) AS out_degree,
-           COALESCE(i.ideg, 0) AS in_degree
+           COALESCE(i.ideg, 0) AS in_degree,
+           c.component
     FROM nodes n JOIN r3 r ON r.host = n.host
     LEFT JOIN outw o ON o.src = n.host
     LEFT JOIN ind i ON i.dst = n.host
+    JOIN comp c ON c.host = n.host
     ORDER BY n.host
     """,
 )
@@ -2372,7 +2387,14 @@ def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls and aggregates weighted edges, ``pagerank`` runs the lazy
     K-iteration recurrence — while the oracle replays the closed-form
     edge set and all three unrolled iterations in SQL, same
-    parenthesization, per-host ranks rounded to 9 decimals."""
+    parenthesization, per-host ranks rounded to 9 decimals.
+
+    A second, DISCONNECTED 'isle*.example.org' sub-graph (doc_id % 11
+    rows) exercises ``connected_components``: the engine's min-label
+    propagation must split the hosts into exactly the {sink+site*} and
+    {isle*} components, which the oracle recomputes as a recursive-CTE
+    transitive closure over the symmetric edge set (min reachable
+    label — identical tie-break, no hashing on either side)."""
     from .functions import graph
 
     d = t(spark, sf_dir, "documents")
@@ -2382,6 +2404,12 @@ def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.concat(
             F.lit("http://site"), expr.cast("string"),
             F.lit(".example.com/p/"), doc_s,
+        )
+
+    def isle(expr):
+        return F.concat(
+            F.lit("http://isle"), expr.cast("string"),
+            F.lit(".example.org/p/"), doc_s,
         )
 
     url = site(F.pmod(F.col("doc_id"), F.lit(7)))
@@ -2396,16 +2424,27 @@ def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x.isNotNull(),
     )
-    edges = graph.host_edges(
-        d.select(url.alias("url"), links.alias("out_links"))
+    site_pages = d.select(url.alias("url"), links.alias("out_links"))
+    isle_pages = d.where(F.pmod(F.col("doc_id"), F.lit(11)) == 0).select(
+        isle(F.pmod(F.col("doc_id"), F.lit(3))).alias("url"),
+        F.array(isle(F.pmod(F.col("doc_id") + 1, F.lit(3)))).alias(
+            "out_links"
+        ),
     )
+    edges = graph.host_edges(site_pages.unionByName(isle_pages))
     pr = graph.pagerank(edges, iterations=3, damping=0.85)
-    return pr.select(
-        "host",
-        F.round("pagerank", 9).alias("pagerank"),
-        "out_degree",
-        "in_degree",
-    ).orderBy("host")
+    cc = graph.connected_components(edges)
+    return (
+        pr.join(cc, "host")
+        .select(
+            "host",
+            F.round("pagerank", 9).alias("pagerank"),
+            "out_degree",
+            "in_degree",
+            "component",
+        )
+        .orderBy("host")
+    )
 
 
 # The driver's correctness gate checks the FIRST 50 registry entries
@@ -2426,8 +2465,7 @@ _CHANGED_FIRST = [
     "doc_quality_features",
     "doc_poly_fingerprints",
     "archive_roundtrip_agg",
-    "emb_ann_lsh_top10",
-    "emb_ann_ivf_top10",
+    "emb_ann_top10",
     # never driver-checked before r4 (registered past the r3 window)
     "q7_volume_shipping",
     "q8_market_share",
