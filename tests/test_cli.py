@@ -8,6 +8,7 @@ import os
 
 import pytest
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from warc_spark import __main__ as cli
 from warc_spark.kernels.gzipmember import compress_records_as_members
@@ -104,3 +105,46 @@ def test_export_cdx(spark, cli_warc, tmp_path, capsys):
 
     keys = [r.urlkey for r in read_cdx(spark, out).collect()]
     assert len(keys) == 8 and all(k.startswith("example,cli)") for k in keys)
+
+
+def test_graph_subcommand(spark, tmp_path, capsys):
+    out = str(tmp_path / "hostgraph")
+    edges_out = str(tmp_path / "hostedges")
+    dom_out = str(tmp_path / "domedges")
+    seeds_out = str(tmp_path / "graphseeds")
+    res = _run(capsys, [
+        "graph", "--synth-pages", "400", "--out", out,
+        "--edges-out", edges_out, "--domain-edges-out", dom_out,
+        "--seeds-out", seeds_out, "--top-hosts", "3",
+        "--iterations", "3", "--seed", "11",
+    ])
+    assert res["hosts"] >= 1 and res["components"] >= 1
+    stats = spark.read.parquet(out)
+    assert set(stats.columns) == {
+        "host", "pagerank", "out_degree", "in_degree", "component"}
+    rows = stats.collect()
+    assert len(rows) == res["hosts"]
+    # PageRank mass conserved; every component label is itself a host
+    assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-9
+    hosts = {r.host for r in rows}
+    assert {r.component for r in rows} <= hosts
+    e = spark.read.parquet(edges_out)
+    assert set(e.columns) == {"src", "dst", "weight"} and e.count() > 0
+    d = spark.read.parquet(dom_out)
+    assert set(d.columns) == {"src", "dst", "weight"}
+    assert d.count() <= e.count()  # rollup can only merge edges
+    seeds = spark.read.parquet(seeds_out)
+    assert set(seeds.columns) == {"url", "priority"}
+    assert 0 < res["seeds"] == seeds.count()
+    # priorities come from exactly the top 3 hosts, max normalized to 1.0
+    assert seeds.agg(F.max("priority")).first()[0] == pytest.approx(1.0)
+    assert seeds.select("priority").distinct().count() <= 3
+
+    # the graph->crawl loop: the emitted seed table drives the crawl CLI
+    crawl_out = str(tmp_path / "crawl")
+    cres = _run(capsys, [
+        "crawl", "--synth-pages", "400", "--seeds-table", seeds_out,
+        "--out", crawl_out, "--batches", "1", "--budget", "4",
+        "--seed", "11",
+    ])
+    assert cres["batches"] == 1 and cres["scheduled"] > 0

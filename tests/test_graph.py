@@ -218,3 +218,176 @@ class TestConnectedComponents:
         e = _edges(spark, [("a", "a", 1.0), ("b", "c", 1.0)])
         got = {r.host: r.component for r in connected_components(e).collect()}
         assert got == {"a": "a", "b": "b", "c": "b"}
+
+
+class TestConnectedComponentsProperty:
+    def test_matches_union_find_on_random_graphs(self, spark):
+        """Pure-Python union-find oracle over pseudo-random edge sets of
+        varying density (deterministic LCG — no test-run randomness)."""
+        from warc_spark.functions.graph import connected_components
+
+        def lcg(seed):
+            x = seed
+            while True:
+                x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+                yield x
+
+        for seed, n, m in [(1, 30, 10), (2, 40, 25), (3, 25, 60), (4, 50, 50)]:
+            g = lcg(seed)
+            rows = [
+                (f"n{next(g) % n:02d}", f"n{next(g) % n:02d}", 1.0)
+                for _ in range(m)
+            ]
+            parent = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for s, d, _ in rows:
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[max(rs, rd)] = min(rs, rd)
+            # oracle label = lexicographically smallest member of the set
+            want = {x: find(x) for x in parent}
+            got = {
+                r.host: r.component
+                for r in connected_components(_edges(spark, rows)).collect()
+            }
+            assert got == want, f"seed={seed}"
+
+
+class TestHostGraphFromPages:
+    def test_html_extractor_links_only(self, spark):
+        """Real-HTML pages frame -> host edges: resolved relative hrefs,
+        framing-less record tolerated (null links), weights aggregated."""
+        from warc_spark.functions.graph import host_graph_from_pages
+
+        def rec(html: bytes) -> bytes:
+            return b"WARC/1.0\r\nX: y\r\n\r\nHTTP/1.1 200 OK\r\n\r\n" + html
+
+        df = spark.createDataFrame(
+            [
+                ("http://a.ex/p/1",
+                 rec(b'<html><a href="/x">r</a><a href="http://b.ex/y">o</a></html>')),
+                ("http://a.ex/p/2", rec(b'<a HREF="http://b.ex/z">upper</a>')),
+                ("http://c.ex/q", b"no framing at all"),
+            ],
+            "url string, html binary",
+        )
+        got = {
+            (r.src, r.dst): r.weight
+            for r in host_graph_from_pages(df, extractor="html").collect()
+        }
+        assert got == {("a.ex", "a.ex"): 1.0, ("a.ex", "b.ex"): 2.0}
+
+    def test_synthetic_extractor_matches_frontier_kernel(self, spark):
+        """On the deterministic synthetic corpus the links-only path must
+        see exactly the links the frontier's combined kernel sees."""
+        from warc_spark.functions.graph import host_graph_from_pages
+        from warc_spark.sources.pages import synth_pages
+
+        pages = synth_pages(spark, 300, seed=7)
+        edges = host_graph_from_pages(pages, extractor="synthetic")
+        rows = edges.collect()
+        assert rows and all(r.weight >= 1.0 and r.src and r.dst for r in rows)
+        # total link mass == what the frontier's extract_links kernel emits
+        from warc_spark.sources.pages import extract_links_kernel
+
+        import pandas as pd
+
+        pdf = pages.select("html").toPandas()
+        want = int(
+            extract_links_kernel(pdf["html"]).map(
+                lambda l: len(l) if l is not None else 0
+            ).sum()
+        )
+        # host_edges drops non-absolute urls; synthetic links are absolute
+        assert int(sum(r.weight for r in rows)) == want
+
+
+class TestDomainRollup:
+    def test_domain_of_expr_rules(self, spark):
+        from warc_spark.functions.graph import domain_of_expr
+
+        df = spark.createDataFrame(
+            [
+                ("www.news.example.com",),
+                ("example.com",),
+                ("a.b.co.uk",),
+                ("sub.deep.example.com.au",),
+                ("co.uk",),            # bare suffix: <=2 labels pass through
+                ("localhost",),
+                ("192.168.0.1",),      # IPv4 literal passes through
+                ("[2001:db8::1]",),    # bracketed IPv6 literal too
+            ],
+            "h string",
+        )
+        got = [r.d for r in df.select(domain_of_expr("h").alias("d")).collect()]
+        assert got == [
+            "example.com", "example.com", "b.co.uk", "example.com.au",
+            "co.uk", "localhost", "192.168.0.1", "[2001:db8::1]",
+        ]
+
+    def test_domain_edges_rollup(self, spark):
+        from warc_spark.functions.graph import domain_edges
+
+        e = _edges(
+            spark,
+            [
+                ("www.a.com", "cdn.a.com", 2.0),   # intra-domain after rollup
+                ("blog.a.com", "shop.b.co.uk", 3.0),
+                ("www.a.com", "shop.b.co.uk", 1.0),
+            ],
+        )
+        got = {(r.src, r.dst): r.weight for r in domain_edges(e).collect()}
+        assert got == {
+            ("a.com", "a.com"): 2.0,
+            ("a.com", "b.co.uk"): 4.0,
+        }
+
+    def test_domain_expr_is_jvm_only(self, spark):
+        from warc_spark.functions.graph import domain_of_expr
+
+        df = spark.createDataFrame([("x.co.uk",)], "h string")
+        p = _plan(df.select(domain_of_expr("h").alias("d")))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestSeedsFromPagerank:
+    def test_priorities_normalized_and_joined(self, spark):
+        from warc_spark.functions.graph import seeds_from_pagerank
+
+        pages = spark.createDataFrame(
+            [("http://big.ex/1",), ("http://big.ex/2",),
+             ("http://small.ex/1",), ("http://other.ex/1",)],
+            "url string",
+        )
+        ranks = spark.createDataFrame(
+            [("big.ex", 0.5), ("small.ex", 0.25)],
+            "host string, pagerank double",
+        )
+        got = {r.url: r.priority for r in
+               seeds_from_pagerank(pages, ranks).collect()}
+        # other.ex has no rank -> dropped; top host normalizes to 1.0
+        assert got == {
+            "http://big.ex/1": 1.0, "http://big.ex/2": 1.0,
+            "http://small.ex/1": 0.5,
+        }
+
+    def test_top_hosts_cut(self, spark):
+        from warc_spark.functions.graph import seeds_from_pagerank
+
+        pages = spark.createDataFrame(
+            [("http://h%d.ex/p" % i,) for i in range(5)], "url string",
+        )
+        ranks = spark.createDataFrame(
+            [("h%d.ex" % i, 0.1 * (i + 1)) for i in range(5)],
+            "host string, pagerank double",
+        )
+        got = {r.url: r.priority for r in
+               seeds_from_pagerank(pages, ranks, top_hosts=2).collect()}
+        assert got == {"http://h4.ex/p": 1.0, "http://h3.ex/p": 0.8}

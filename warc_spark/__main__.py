@@ -127,6 +127,45 @@ def _build_parser() -> argparse.ArgumentParser:
     e.add_argument("--no-compress", action="store_true")
     e.add_argument("--master", default=None)
 
+    h = sub.add_parser(
+        "graph",
+        help="host web-graph analytics from a pages table: weighted "
+             "PageRank + degrees + connected components per host -> "
+             "parquet (the crawl-prioritization / host-centrality "
+             "product)",
+    )
+    hsrc = h.add_mutually_exclusive_group(required=True)
+    h.add_argument("--out", required=True, help="output parquet dir")
+    hsrc.add_argument("--pages", help="parquet dir with the pages table")
+    hsrc.add_argument("--synth-pages", type=int, help="generate N synthetic pages")
+    h.add_argument("--iterations", type=int, default=10, help="PageRank iterations")
+    h.add_argument("--damping", type=float, default=0.85)
+    h.add_argument(
+        "--extractor", choices=("synthetic", "html"), default=None,
+        help="link-extraction kernel (default: synthetic for --synth-pages, "
+             "html for --pages)",
+    )
+    h.add_argument(
+        "--edges-out", help="also write the raw (src, dst, weight) edge table"
+    )
+    h.add_argument(
+        "--domain-edges-out",
+        help="also write the registrable-domain rollup of the edge table "
+             "(the Common-Crawl domain-graph product)",
+    )
+    h.add_argument(
+        "--seeds-out",
+        help="also write a (url, priority) seed table ranked by host "
+             "pagerank — feeds `crawl --seeds-table` (the graph->crawl "
+             "prioritization loop)",
+    )
+    h.add_argument(
+        "--top-hosts", type=int, default=None,
+        help="with --seeds-out: keep only pages on the N highest-ranked hosts",
+    )
+    h.add_argument("--master", default=None)
+    h.add_argument("--seed", type=int, default=42)
+
     x = sub.add_parser(
         "index",
         help="offset index for WARC (gzip members) or ARC (records) -> "
@@ -213,6 +252,54 @@ def main(argv: list[str] | None = None) -> int:
             out = {"entries": read_cdx(spark, args.out).count()}
         out["out"] = args.out
         print(json.dumps(out))
+        spark.stop()
+        return 0
+    if args.cmd == "graph":
+        from .functions.graph import (
+            connected_components,
+            host_graph_from_pages,
+            pagerank,
+        )
+        from .plans import get_spark
+
+        spark = get_spark(app="warc_spark_graph", master=args.master)
+        if args.pages:
+            pages = spark.read.parquet(args.pages)
+            extractor = args.extractor or "html"
+        else:
+            from .sources.pages import synth_pages
+
+            pages = synth_pages(spark, args.synth_pages, seed=args.seed)
+            extractor = args.extractor or "synthetic"
+        edges = host_graph_from_pages(pages, extractor=extractor).persist()
+        if args.edges_out:
+            edges.write.mode("overwrite").parquet(args.edges_out)
+        if args.domain_edges_out:
+            from .functions.graph import domain_edges
+
+            domain_edges(edges).write.mode("overwrite").parquet(
+                args.domain_edges_out
+            )
+        pr = pagerank(
+            edges, iterations=args.iterations, damping=args.damping,
+            persist_every=4 if args.iterations > 6 else 0,
+        )
+        cc = connected_components(edges)
+        pr.join(cc, "host").write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        res = {
+            "hosts": out.count(),
+            "components": out.select("component").distinct().count(),
+            "out": args.out,
+        }
+        if args.seeds_out:
+            from .functions.graph import seeds_from_pagerank
+
+            seeds_from_pagerank(
+                pages, out, top_hosts=args.top_hosts
+            ).write.mode("overwrite").parquet(args.seeds_out)
+            res["seeds"] = spark.read.parquet(args.seeds_out).count()
+        print(json.dumps(res))
         spark.stop()
         return 0
     if args.cmd == "index":

@@ -62,6 +62,56 @@ def host_edges(
     )
 
 
+def _links_only_html_kernel(html, url):
+    """WARC record bytes + page url -> array<string> of resolved hrefs.
+    Same framing/NaN handling as ``sources.pages.extract_page_html_kernel``
+    but SKIPS text extraction — the graph path only needs links, and
+    ``html_to_text`` is the expensive half of the combined kernel."""
+    import pandas as pd
+
+    from ..kernels.htmlext import extract_links, redecode_html
+
+    s = html.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
+    body = [
+        redecode_html(b) if isinstance(b, str) else None
+        for b in s.str.split("\r\n\r\n", n=2).str[2]
+    ]
+    return pd.Series(
+        [
+            extract_links(b, u) if b is not None else None
+            for b, u in zip(body, url)
+        ],
+        dtype=object,
+    )
+
+
+def host_graph_from_pages(
+    pages: DataFrame,
+    extractor: str = "html",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """``(src, dst, weight)`` host edges straight from an input_hint pages
+    table (url, html, ...): ONE Arrow pass of a links-only extraction
+    kernel (the binary column crosses the Arrow boundary once, and unlike
+    the fetch path no text is computed), then ``host_edges`` aggregates —
+    everything downstream of the kernel is slim host strings.
+    ``extractor='html'`` is the real-HTML kernel (tag-aware,
+    ``<base>``-resolved hrefs); ``'synthetic'`` matches ``synth_pages``."""
+    if extractor == "html":
+        kernel = _links_only_html_kernel
+    else:
+        from ..sources.pages import extract_links_kernel
+
+        kernel = lambda html, url: extract_links_kernel(html)  # noqa: E731
+    ex = F.pandas_udf(kernel, "array<string>")
+    linked = pages.select(
+        F.col(url_col).alias("url"),
+        ex(F.col(html_col), F.col(url_col)).alias("out_links"),
+    )
+    return host_edges(linked)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
@@ -173,10 +223,17 @@ def connected_components(
 
     Unlike ``pagerank`` this loop needs a convergence test, so each round
     runs ONE metadata-only action: a count over the (label-changed) rows
-    — no row data ever reaches the driver. Each round's labels persist
-    lazily and the previous round unpersists after the check; labels are
-    (host, label) string pairs, slim at any scale. The propagation join
-    is host-keyed both ways (AQE broadcasts while labels fit)."""
+    — no row data ever reaches the driver. Labels are (host, label)
+    string pairs, slim at any scale; the propagation join is host-keyed
+    both ways (AQE broadcasts while labels fit).
+
+    Each round's labels ``localCheckpoint`` EAGERLY (the count piggybacks
+    on the materialization): the recurrence references the previous
+    labels twice per round (neighbor-min + the left join), so without a
+    lineage cut the logical plan doubles per iteration — exponential by
+    round ~20. The checkpoint makes every round's plan constant-size; on
+    a cluster where executor loss matters, swap for reliable
+    ``checkpoint()`` with a checkpoint dir (same shape)."""
     sym = (
         edges.select("src", "dst")
         .unionByName(
@@ -210,11 +267,121 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nmin") < F.col("component")).alias("_changed"),
             )
-            .persist()
+            # lineage cut (labels is referenced twice per round -> the
+            # uncut plan doubles per iteration); eager = the convergence
+            # count below rides the same materialization
+            .localCheckpoint(eager=True)
         )
         changed = nxt.where(F.col("_changed")).count()  # metadata-only action
         prev, labels = labels, nxt.drop("_changed")
         prev.unpersist()
         if changed == 0:
             break
+    if cache_static:
+        # the returned labels frame is itself persisted+materialized, so
+        # the symmetric edge cache is only a recompute shortcut now
+        sym.unpersist()
     return labels
+
+
+# multi-part public suffixes where the registrable domain is THREE labels
+# (pragmatic subset of the public-suffix list covering the common ccTLD
+# second-level registries; swap in the full PSL as a broadcast lookup for
+# production exactness — the expression shape stays identical)
+_MULTIPART_SUFFIXES = (
+    "co.uk ac.uk gov.uk org.uk me.uk net.uk ltd.uk plc.uk sch.uk "
+    "com.au net.au org.au edu.au gov.au asn.au id.au "
+    "co.jp ne.jp or.jp ac.jp go.jp ad.jp ed.jp gr.jp lg.jp "
+    "com.br net.br org.br gov.br edu.br "
+    "co.in net.in org.in firm.in gen.in ind.in ac.in edu.in gov.in res.in "
+    "com.cn net.cn org.cn gov.cn edu.cn ac.cn "
+    "co.kr ne.kr or.kr re.kr go.kr ac.kr pe.kr "
+    "com.mx org.mx net.mx edu.mx gob.mx "
+    "com.tr net.tr org.tr gen.tr edu.tr gov.tr "
+    "co.za net.za org.za web.za gov.za ac.za "
+    "com.ar net.ar org.ar edu.ar gob.ar "
+    "com.tw org.tw net.tw edu.tw gov.tw idv.tw "
+    "com.hk org.hk net.hk edu.hk gov.hk idv.hk "
+    "com.sg org.sg net.sg edu.sg gov.sg per.sg "
+    "co.nz net.nz org.nz ac.nz govt.nz geek.nz gen.nz iwi.nz maori.nz "
+    "co.il net.il org.il ac.il gov.il muni.il idf.il "
+    "com.my net.my org.my edu.my gov.my mil.my name.my "
+    "co.th in.th ac.th go.th mi.th net.th or.th "
+    "com.vn net.vn org.vn edu.vn gov.vn int.vn ac.vn biz.vn info.vn "
+    "com.ua net.ua org.ua edu.ua gov.ua in.ua "
+    "com.pl net.pl org.pl edu.pl gov.pl info.pl waw.pl "
+    "com.ru net.ru org.ru msk.ru spb.ru "
+    "co.id net.id or.id ac.id go.id web.id my.id sch.id "
+    "com.ph net.ph org.ph edu.ph gov.ph ngo.ph "
+    "com.eg net.eg org.eg edu.eg gov.eg sci.eg "
+    "com.sa net.sa org.sa edu.sa gov.sa med.sa pub.sa "
+    "com.ng net.ng org.ng edu.ng gov.ng name.ng "
+    "co.ke ne.ke or.ke ac.ke go.ke info.ke me.ke mobi.ke sc.ke"
+).split()
+
+
+def domain_of_expr(host) -> Column:
+    """Registrable (pay-level) domain of a host column as a codegen'd JVM
+    expression — Common Crawl's domain-graph rollup key. Last two labels,
+    or last three when the trailing two are a known multi-part public
+    suffix (``co.uk`` etc.); hosts with <=2 labels, IPv4 literals, and
+    bracketed IPv6 literals pass through unchanged."""
+    col = F.col(host) if isinstance(host, str) else host
+    parts = F.split(col, r"\.")
+    last2 = F.array_join(F.slice(parts, -2, 2), ".")
+    last3 = F.array_join(F.slice(parts, -3, 3), ".")
+    is_multi = F.array_contains(
+        F.array(*[F.lit(s) for s in _MULTIPART_SUFFIXES]), last2
+    )
+    is_literal = col.rlike(r"^(\d{1,3}(\.\d{1,3}){3}|\[.*\])$")
+    return (
+        F.when(is_literal | (F.size(parts) <= 2), col)
+        .when(is_multi & (F.size(parts) >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_edges(host_edge_table: DataFrame) -> DataFrame:
+    """Roll a ``(src, dst, weight)`` HOST-graph edge table up to
+    registrable domains (the Common Crawl domain-graph product): both
+    endpoints map through ``domain_of_expr`` and weights re-aggregate.
+    Map-side expression + one slim (src, dst) exchange; intra-domain
+    edges (host self-loops and cross-host-same-domain links) are kept —
+    filter ``src != dst`` for the strict inter-domain graph."""
+    return (
+        host_edge_table.select(
+            domain_of_expr("src").alias("src"),
+            domain_of_expr("dst").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def seeds_from_pagerank(
+    pages: DataFrame,
+    ranks: DataFrame,
+    url_col: str = "url",
+    top_hosts: int | None = None,
+) -> DataFrame:
+    """``(url, priority)`` frontier seed table from a pagerank host-stats
+    frame: every page url gets its host's rank, normalized so the top
+    host = priority 1.0 — the graph->crawl feedback loop (rank hosts,
+    then budget the next crawl toward them). ``top_hosts`` keeps only the
+    N best hosts (their pages; everything else drops out). The rank side
+    is #hosts rows — AQE broadcasts it against the pages scan."""
+    r = ranks.select("host", "pagerank")
+    if top_hosts is not None:
+        r = r.orderBy(F.desc("pagerank"), "host").limit(top_hosts)
+    mx = r.agg(F.max("pagerank").alias("_mx"))
+    pr = r.crossJoin(F.broadcast(mx)).select(
+        "host", (F.col("pagerank") / F.col("_mx")).alias("priority")
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("url"), host_of_expr(url_col).alias("host")
+        )
+        .join(pr, "host")
+        .select("url", "priority")
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import curation, dedup, similarity, text
+from .functions.graph import _MULTIPART_SUFFIXES
 from .functions.multimodal import decode_media
 from .sources import parse_warc_column, synth_pages
 
@@ -2363,18 +2364,35 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT r.host, s.dst FROM reach r JOIN sym s ON s.src = r.m
     ),
-    comp AS (SELECT host, MIN(m) AS component FROM reach GROUP BY 1)
+    comp AS (SELECT host, MIN(m) AS component FROM reach GROUP BY 1),
+    dom AS (SELECT host,
+      CASE
+        WHEN regexp_matches(host, '^(\\d{1,3}(\\.\\d{1,3}){3}|\\[.*\\])$')
+             OR len(string_split(host, '.')) <= 2 THEN host
+        WHEN array_to_string(string_split(host, '.')[-2:], '.')
+             IN (__MULTIPART_SUFFIXES__)
+             AND len(string_split(host, '.')) >= 3
+          THEN array_to_string(string_split(host, '.')[-3:], '.')
+        ELSE array_to_string(string_split(host, '.')[-2:], '.')
+      END AS domain FROM nodes)
     SELECT n.host,
            ROUND(r.pr, 9) AS pagerank,
            COALESCE(o.odeg, 0) AS out_degree,
            COALESCE(i.ideg, 0) AS in_degree,
-           c.component
+           c.component,
+           dm.domain
     FROM nodes n JOIN r3 r ON r.host = n.host
     LEFT JOIN outw o ON o.src = n.host
     LEFT JOIN ind i ON i.dst = n.host
     JOIN comp c ON c.host = n.host
+    JOIN dom dm ON dm.host = n.host
     ORDER BY n.host
-    """,
+    """.replace(
+        # the oracle replays domain_of_expr with the SAME suffix list the
+        # engine compiles into its expression — one source of truth
+        "__MULTIPART_SUFFIXES__",
+        ", ".join("'%s'" % s for s in _MULTIPART_SUFFIXES),
+    ),
 )
 def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph construction + 3 iterations of weighted PageRank with
@@ -2394,7 +2412,10 @@ def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation must split the hosts into exactly the {sink+site*} and
     {isle*} components, which the oracle recomputes as a recursive-CTE
     transitive closure over the symmetric edge set (min reachable
-    label — identical tie-break, no hashing on either side)."""
+    label — identical tie-break, no hashing on either side). The
+    ``domain`` column replays ``domain_of_expr`` (registrable-domain
+    rollup) generically in SQL with the SAME multi-part-suffix list the
+    engine compiles into its expression."""
     from .functions import graph
 
     d = t(spark, sf_dir, "documents")
@@ -2442,6 +2463,7 @@ def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_degree",
             "in_degree",
             "component",
+            graph.domain_of_expr("host").alias("domain"),
         )
         .orderBy("host")
     )
