@@ -121,11 +121,14 @@ def test_graph_subcommand(spark, tmp_path, capsys):
     assert res["hosts"] >= 1 and res["components"] >= 1
     stats = spark.read.parquet(out)
     assert set(stats.columns) == {
-        "host", "pagerank", "out_degree", "in_degree", "component"}
+        "host", "pagerank", "out_degree", "in_degree", "component",
+        "hub", "authority"}
     rows = stats.collect()
     assert len(rows) == res["hosts"]
-    # PageRank mass conserved; every component label is itself a host
+    # PageRank + HITS mass conserved; every component label is a host
     assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.hub for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.authority for r in rows) - 1.0) < 1e-9
     hosts = {r.host for r in rows}
     assert {r.component for r in rows} <= hosts
     e = spark.read.parquet(edges_out)

@@ -8,7 +8,7 @@ from contextlib import redirect_stdout
 import pytest
 from pyspark.sql import functions as F
 
-from warc_spark.functions.graph import host_edges, host_of_expr, pagerank
+from warc_spark.functions.graph import hits, host_edges, host_of_expr, pagerank
 
 
 def _plan(df) -> str:
@@ -172,6 +172,56 @@ class TestPlanShape:
         )
         p = _plan(df.select(host_of_expr("u").alias("h")))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestHits:
+    def test_one_iteration_closed_form(self, spark):
+        """a->b (w 1), a->c (w 3), b->c (w 1). h0 = 1 everywhere.
+        a_raw: b = 1*1 = 1, c = 3*1 + 1*1 = 4; sum 5
+        a1:    a = 0, b = 0.2, c = 0.8
+        h_raw: a = 1*0.2 + 3*0.8 = 2.6, b = 1*0.8 = 0.8; sum 3.4
+        h1:    a = 2.6/3.4, b = 0.8/3.4, c = 0
+        """
+        e = _edges(spark, [("a", "b", 1.0), ("a", "c", 3.0), ("b", "c", 1.0)])
+        got = {r.host: r for r in hits(e, iterations=1).collect()}
+        assert got["a"].authority == pytest.approx(0.0, abs=1e-12)
+        assert got["b"].authority == pytest.approx(0.2, abs=1e-12)
+        assert got["c"].authority == pytest.approx(0.8, abs=1e-12)
+        assert got["a"].hub == pytest.approx(2.6 / 3.4, abs=1e-12)
+        assert got["b"].hub == pytest.approx(0.8 / 3.4, abs=1e-12)
+        assert got["c"].hub == pytest.approx(0.0, abs=1e-12)
+
+    def test_l1_mass_conserved_and_sink_hub_zero(self, spark):
+        e = _edges(
+            spark,
+            [("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 1.0), ("a", "sink", 5.0)],
+        )
+        rows = hits(e, iterations=3).collect()
+        assert sum(r.hub for r in rows) == pytest.approx(1.0, abs=1e-9)
+        assert sum(r.authority for r in rows) == pytest.approx(1.0, abs=1e-9)
+        got = {r.host: r for r in rows}
+        assert got["sink"].hub == 0.0  # no out-edges -> never a hub
+        assert got["sink"].authority > 0.0
+
+    def test_deterministic_across_parallelism(self, spark):
+        e = _edges(
+            spark,
+            [(f"h{i}", f"h{(i * 7 + 3) % 23}", float(1 + i % 5)) for i in range(60)],
+        )
+        a = {
+            (r.host): (round(r.hub, 9), round(r.authority, 9))
+            for r in hits(e.repartition(1), iterations=2).collect()
+        }
+        b = {
+            (r.host): (round(r.hub, 9), round(r.authority, 9))
+            for r in hits(e.repartition(17), iterations=2).collect()
+        }
+        assert a == b
+
+    def test_no_python_in_plan(self, spark):
+        e = _edges(spark, [("a", "b", 1.0), ("b", "a", 2.0)])
+        plan = _plan(hits(e, iterations=2))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 class TestConnectedComponents:

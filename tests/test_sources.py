@@ -568,6 +568,58 @@ def test_real_html_warc_roundtrip_feeds_frontier(spark, tmp_path):
     assert b2[0].text_extracted == "Final leaf"
 
 
+def test_parse_sitemap_entries(spark):
+    """JVM sitemap parser: per-entry hints, entity decode, index rows,
+    passthrough keep columns — and a map-only, Python-free plan."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from warc_spark.sources.pages import parse_sitemap_entries
+
+    body = """<?xml version="1.0"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>http://h.example.org/a?x=1&amp;y=&quot;2&quot;</loc>
+           <lastmod>2026-01-05</lastmod>
+           <changefreq>daily</changefreq>
+           <priority>0.8</priority></url>
+      <url><loc> http://h.example.org/b </loc></url>
+      <url><lastmod>2026-01-06</lastmod></url>
+    </urlset>"""
+    idx = """<sitemapindex>
+      <sitemap><loc>http://h.example.org/s1.xml</loc>
+               <lastmod>2026-02-01</lastmod></sitemap>
+    </sitemapindex>"""
+    df = spark.createDataFrame(
+        [("sm0", body), ("sm1", idx), ("sm2", None)], "src string, body string"
+    )
+    ent = parse_sitemap_entries(df, keep=("src",))
+    rows = {r.loc: r for r in ent.collect()}
+    # the loc-less <url> block and the null body drop out
+    assert set(rows) == {
+        'http://h.example.org/a?x=1&y="2"',
+        "http://h.example.org/b",
+        "http://h.example.org/s1.xml",
+    }
+    a = rows['http://h.example.org/a?x=1&y="2"']
+    assert (a.src, a.lastmod, a.changefreq, a.priority, a.is_index) == (
+        "sm0", "2026-01-05", "daily", 0.8, False,
+    )
+    b = rows["http://h.example.org/b"]
+    assert (b.lastmod, b.changefreq, b.priority, b.is_index) == (
+        None, None, None, False,
+    )
+    s1 = rows["http://h.example.org/s1.xml"]
+    assert (s1.src, s1.lastmod, s1.is_index) == ("sm1", "2026-02-01", True)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ent.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert not re.findall(r"\(\d+\) Exchange", plan)  # map-only
+
+
 def test_seeds_from_sitemaps(spark):
     from warc_spark.sources.pages import seeds_from_sitemaps
 

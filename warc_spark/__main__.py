@@ -130,7 +130,7 @@ def _build_parser() -> argparse.ArgumentParser:
     h = sub.add_parser(
         "graph",
         help="host web-graph analytics from a pages table: weighted "
-             "PageRank + degrees + connected components per host -> "
+             "PageRank + HITS + degrees + connected components per host -> "
              "parquet (the crawl-prioritization / host-centrality "
              "product)",
     )
@@ -257,6 +257,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "graph":
         from .functions.graph import (
             connected_components,
+            hits,
             host_graph_from_pages,
             pagerank,
         )
@@ -285,7 +286,10 @@ def main(argv: list[str] | None = None) -> int:
             persist_every=4 if args.iterations > 6 else 0,
         )
         cc = connected_components(edges)
-        pr.join(cc, "host").write.mode("overwrite").parquet(args.out)
+        ha = hits(edges, iterations=max(2, args.iterations // 2))
+        pr.join(cc, "host").join(ha, "host").write.mode("overwrite").parquet(
+            args.out
+        )
         out = spark.read.parquet(args.out)
         res = {
             "hosts": out.count(),

@@ -208,6 +208,77 @@ def pagerank(
     )
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    cache_static: bool = True,
+) -> DataFrame:
+    """Weighted HITS (hubs & authorities, Kleinberg) over a
+    ``(src, dst, weight)`` edge table — the complement to ``pagerank``
+    for crawl seed selection: a high-AUTHORITY host is worth fetching
+    deeply, a high-HUB host is worth re-crawling for link discovery.
+
+    Recurrence, L1-normalized each half-step (any per-step normalization
+    yields the same ranking; sum-normalization keeps the replay exact in
+    SQL — no sqrt)::
+
+        h_0(u)   = 1
+        a_k(v)   = sum_{u->v} w(u,v) * h_{k-1}(u)   / sum over all v
+        h_k(u)   = sum_{u->v} w(u,v) * a_k(v)       / sum over all u
+
+    Returns ``(host, hub, authority)`` — one row per node; nodes with no
+    out-edges have hub 0, no in-edges authority 0. Plan shape mirrors
+    ``pagerank``: the two normalizers are 1-row aggregates crossJoined
+    back as broadcasts, so the whole K-iteration recurrence stays ONE
+    lazy plan with zero driver actions; score tables are (host string,
+    double) — slim at any node count. Deterministic up to float-sum
+    ordering (round when comparing across engines)."""
+    if cache_static:
+        edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    if cache_static:
+        nodes = nodes.persist()
+
+    hub = nodes.select("host", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(hub, edges.src == hub.host)
+            .select(F.col("dst").alias("host"), (F.col("weight") * F.col("hub")).alias("c"))
+            .groupBy("host")
+            .agg(F.sum("c").alias("a"))
+        )
+        a_sum = a_raw.agg(F.sum("a").alias("a_sum"))
+        auth = (
+            nodes.join(a_raw, "host", "left")
+            .crossJoin(F.broadcast(a_sum))
+            .select(
+                "host",
+                (F.coalesce(F.col("a"), F.lit(0.0)) / F.col("a_sum")).alias("authority"),
+            )
+        )
+        h_raw = (
+            edges.join(auth, edges.dst == auth.host)
+            .select(F.col("src").alias("host"), (F.col("weight") * F.col("authority")).alias("c"))
+            .groupBy("host")
+            .agg(F.sum("c").alias("hh"))
+        )
+        h_sum = h_raw.agg(F.sum("hh").alias("h_sum"))
+        hub = (
+            nodes.join(h_raw, "host", "left")
+            .crossJoin(F.broadcast(h_sum))
+            .select(
+                "host",
+                (F.coalesce(F.col("hh"), F.lit(0.0)) / F.col("h_sum")).alias("hub"),
+            )
+        )
+    return hub.join(auth, "host")
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,

@@ -318,19 +318,112 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (the hourly-by-type events rollup that used to be registered here is
+# still oracled end-to-end by `stream_events_hourly`, which runs the SAME
+# aggregation through the streaming path; the slot keeps the registry
+# inside the driver's 50-entry correctness window)
+
+
 @register(
-    "events_hourly_by_type",
+    "recrawl_priority_stats",
     oracle="""
-    SELECT date_trunc('hour', ts) AS hour, event_type,
-           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
-    FROM events GROUP BY 1, 2
+    WITH caps AS (
+      SELECT 'http://site' || (doc_id % 7) || '.example.com/p/' || doc_id
+               AS url,
+             to_timestamp(1767225600 + i * ((doc_id % 5 + 1) * 3600)) AS ts,
+             md5(doc_id || ':' || (i // (doc_id % 3 + 1))) AS digest
+      FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+            FROM documents)
+    ),
+    flagged AS (
+      SELECT url, ts,
+             digest != LAG(digest) OVER (PARTITION BY url
+                                         ORDER BY ts, digest) AS chg
+      FROM caps),
+    per_url AS (
+      SELECT url,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             epoch(MIN(ts)) AS first_e, epoch(MAX(ts)) AS last_e
+      FROM flagged GROUP BY 1),
+    est AS (
+      SELECT url, n, x,
+             CASE WHEN n > 1
+                  THEN CAST(last_e - first_e AS DOUBLE) / (n - 1.0) END
+               AS avgi,
+             last_e
+      FROM per_url),
+    lam AS (
+      SELECT url, n, x, avgi,
+             CASE WHEN avgi > 0.0
+                  THEN -ln((n - 0.5 - x) / (n - 0.5)) / avgi END AS l,
+             GREATEST(CAST(1780272000 - last_e AS DOUBLE), 0.0) AS age
+      FROM est)
+    SELECT url,
+           n AS n_captures,
+           x AS n_changes,
+           avgi AS avg_interval_sec,
+           ROUND(l, 12) + 0.0 AS change_rate,  -- +0.0: X=0 gives -ln(1) = -0.0
+                                               -- here but +0.0 through Spark's
+                                               -- BigDecimal round; normalize
+           ROUND(CASE WHEN l IS NOT NULL THEN 1.0 - exp(-l * age)
+                      ELSE 0.5 END, 9) AS priority
+    FROM lam
+    ORDER BY url
     """,
 )
-def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
-    return e.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+def recrawl_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling (operators/recrawl.py): per-url change
+    rate via the Cho & Garcia-Molina bias-reduced Poisson estimator over
+    a capture history, and the since-last-capture change probability as
+    the recrawl priority. Captures are synthesized deterministically from
+    doc_id — 1-4 captures per url, spacing (doc_id%5+1) hours, digest
+    flipping every (doc_id%3+1) captures — so every (n_captures,
+    n_changes) combination up to 4 is exercised, including the
+    single-capture default-priority path. The engine runs the REAL
+    operator (one url-keyed exchange; lag window + aggregate share it);
+    the oracle replays estimator and synthesis in SQL, ln/exp rounded
+    at 12/9 decimals."""
+    from .operators.recrawl import recrawl_priority
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    caps = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.pmod(F.col("doc_id"), F.lit(4))
+            )
+        ).alias("i"),
+    ).select(
+        F.concat(
+            F.lit("http://site"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1767225600)
+            + F.col("i") * ((F.pmod(F.col("doc_id"), F.lit(5)) + 1) * 3600)
+        ).alias("warc_ts"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.floor(
+                    F.col("i") / (F.pmod(F.col("doc_id"), F.lit(3)) + 1)
+                ).cast("string"),
+            )
+        ).alias("payload_digest"),
+    )
+    pri = recrawl_priority(caps, F.timestamp_seconds(F.lit(1780272000)))
+    return pri.select(
+        "url",
+        "n_captures",
+        "n_changes",
+        "avg_interval_sec",
+        F.round("change_rate", 12).alias("change_rate"),
+        F.round("priority", 9).alias("priority"),
+    ).orderBy("url")
 
 
 @register(
@@ -462,23 +555,142 @@ def doc_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # normalized_fingerprint is oracled per-doc in doc_quality_features and the
 # per-source set arithmetic is oracled in doc_source_overlap; VERDICT r3 #2.)
 
+# (doc_top5_longest_per_lang was retired from the registry in r4 to keep
+# it inside the driver's 50-entry window: the same top-k-per-key window
+# shape stays oracled twice — `politeness_topk_per_user` runs the actual
+# politeness operator and `window_top3_customers_per_nation` the ranked
+#-window path.)
+
+
 @register(
-    "doc_top5_longest_per_lang",
+    "sitemap_parse_entries",
     oracle="""
-    SELECT lang, doc_id, n_chars FROM (
-      SELECT lang, doc_id, n_chars,
-             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
-      FROM documents)
-    WHERE rn <= 5
+    WITH e AS (
+      SELECT doc_id,
+             unnest(range(0, CASE WHEN doc_id % 10 = 0 THEN 2
+                                  ELSE doc_id % 3 + 1 END)) AS i
+      FROM documents
+    )
+    SELECT 'http://site' || (doc_id % 7) || '.example.com/sm/' || doc_id
+             || '.xml' AS sitemap_url,
+           CASE WHEN doc_id % 10 = 0
+                THEN 'http://site' || (doc_id % 7) || '.example.com/sm/'
+                     || doc_id || '_' || i || '.xml'
+                ELSE 'http://site' || (doc_id % 7) || '.example.com/p?id='
+                     || doc_id || '&n=' || i END AS loc,
+           CASE WHEN doc_id % 10 != 0 AND (doc_id + i) % 4 = 0
+                THEN '2026-03-0' || (i + 1) END AS lastmod,
+           CASE WHEN doc_id % 10 != 0 AND (doc_id + i) % 3 = 0
+                THEN (CASE WHEN i % 2 = 0 THEN 'daily' ELSE 'weekly' END)
+                END AS changefreq,
+           CASE WHEN doc_id % 10 != 0 AND (doc_id + i) % 2 = 0
+                THEN ((doc_id + i) % 10) / 10.0 END AS priority,
+           doc_id % 10 = 0 AS is_index
+    FROM e
+    ORDER BY sitemap_url, loc
     """,
 )
-def doc_top5_longest_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("lang", "doc_id", "n_chars")
+def sitemap_parse_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sources/pages.py::parse_sitemap_entries): the
+    JVM-only XML-subset parser over deterministically synthesized sitemap
+    bodies. Every 10th doc becomes a 2-entry sitemapindex file, the rest
+    urlset files with 1-3 ``<url>`` entries whose lastmod / changefreq /
+    priority hints appear on modular schedules (so present/absent
+    combinations are all exercised) and whose locs embed an ``&amp;``
+    entity (decoding checked). The engine BUILDS the XML with string
+    expressions and PARSES it with the real operator; the oracle
+    regenerates the expected entry rows closed-form — parse must invert
+    synthesis exactly."""
+    from .sources.pages import parse_sitemap_entries
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    doc_s = F.col("doc_id").cast("string")
+    site = F.concat(
+        F.lit("http://site"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".example.com"),
+    )
+    is_index = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+
+    def idx_entry(i):
+        return F.concat(
+            F.lit("<sitemap><loc>"),
+            site,
+            F.lit("/sm/"),
+            doc_s,
+            F.lit("_"),
+            i.cast("string"),
+            F.lit(".xml</loc></sitemap>"),
+        )
+
+    def url_entry(i):
+        m = F.pmod(F.col("doc_id") + i, F.lit(12))  # lcm(4,3,2) grid
+        loc = F.concat(
+            F.lit("<loc> "),  # stray whitespace: trimmed by the parser
+            site,
+            F.lit("/p?id="),
+            doc_s,
+            F.lit("&amp;n="),  # entity: decoded by the parser
+            i.cast("string"),
+            F.lit(" </loc>"),
+        )
+        lastmod = F.when(
+            F.pmod(m, F.lit(4)) == 0,
+            F.concat(
+                F.lit("<lastmod>2026-03-0"),
+                (i + 1).cast("string"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit(""))
+        changefreq = F.when(
+            F.pmod(m, F.lit(3)) == 0,
+            F.concat(
+                F.lit("<changefreq>"),
+                F.when(F.pmod(i, F.lit(2)) == 0, F.lit("daily")).otherwise(
+                    F.lit("weekly")
+                ),
+                F.lit("</changefreq>"),
+            ),
+        ).otherwise(F.lit(""))
+        priority = F.when(
+            F.pmod(m, F.lit(2)) == 0,
+            F.concat(
+                F.lit("<priority>"),
+                (F.pmod(F.col("doc_id") + i, F.lit(10)) / 10.0).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit("<url>"), loc, lastmod, changefreq, priority, F.lit("</url>")
+        )
+
+    n_entries = F.when(is_index, F.lit(2).cast("long")).otherwise(
+        F.pmod(F.col("doc_id"), F.lit(3)) + 1
+    )
+    seq = F.sequence(F.lit(0).cast("long"), n_entries - 1)
+    body = F.concat(
+        F.when(is_index, F.lit('<sitemapindex xmlns="x">')).otherwise(
+            F.lit('<urlset xmlns="x">')
+        ),
+        F.array_join(
+            F.transform(
+                seq,
+                lambda i: F.when(is_index, idx_entry(i)).otherwise(
+                    url_entry(i)
+                ),
+            ),
+            "",
+        ),
+        F.when(is_index, F.lit("</sitemapindex>")).otherwise(F.lit("</urlset>")),
+    )
+    sitemaps = d.select(
+        F.concat(site, F.lit("/sm/"), doc_s, F.lit(".xml")).alias(
+            "sitemap_url"
+        ),
+        body.alias("body"),
+    )
+    return parse_sitemap_entries(sitemaps, keep=("sitemap_url",)).orderBy(
+        "sitemap_url", "loc"
     )
 
 
@@ -2365,6 +2577,23 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r.host, s.dst FROM reach r JOIN sym s ON s.src = r.m
     ),
     comp AS (SELECT host, MIN(m) AS component FROM reach GROUP BY 1),
+    ha0 AS (SELECT e.dst AS host, SUM(e.w * h.hub) AS a
+            FROM edges e JOIN (SELECT host, CAST(1.0 AS DOUBLE) AS hub
+                               FROM nodes) h ON h.host = e.src GROUP BY 1),
+    a0 AS (SELECT n.host, COALESCE(x.a, 0) / (SELECT SUM(a) FROM ha0) AS auth
+           FROM nodes n LEFT JOIN ha0 x ON x.host = n.host),
+    hh0 AS (SELECT e.src AS host, SUM(e.w * a.auth) AS hh
+            FROM edges e JOIN a0 a ON a.host = e.dst GROUP BY 1),
+    h1 AS (SELECT n.host, COALESCE(x.hh, 0) / (SELECT SUM(hh) FROM hh0) AS hub
+           FROM nodes n LEFT JOIN hh0 x ON x.host = n.host),
+    ha1 AS (SELECT e.dst AS host, SUM(e.w * h.hub) AS a
+            FROM edges e JOIN h1 h ON h.host = e.src GROUP BY 1),
+    a1 AS (SELECT n.host, COALESCE(x.a, 0) / (SELECT SUM(a) FROM ha1) AS auth
+           FROM nodes n LEFT JOIN ha1 x ON x.host = n.host),
+    hh1 AS (SELECT e.src AS host, SUM(e.w * a.auth) AS hh
+            FROM edges e JOIN a1 a ON a.host = e.dst GROUP BY 1),
+    h2 AS (SELECT n.host, COALESCE(x.hh, 0) / (SELECT SUM(hh) FROM hh1) AS hub
+           FROM nodes n LEFT JOIN hh1 x ON x.host = n.host),
     dom AS (SELECT host,
       CASE
         WHEN regexp_matches(host, '^(\\d{1,3}(\\.\\d{1,3}){3}|\\[.*\\])$')
@@ -2380,12 +2609,16 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(o.odeg, 0) AS out_degree,
            COALESCE(i.ideg, 0) AS in_degree,
            c.component,
-           dm.domain
+           dm.domain,
+           ROUND(h.hub, 9) AS hub,
+           ROUND(a.auth, 9) AS authority
     FROM nodes n JOIN r3 r ON r.host = n.host
     LEFT JOIN outw o ON o.src = n.host
     LEFT JOIN ind i ON i.dst = n.host
     JOIN comp c ON c.host = n.host
     JOIN dom dm ON dm.host = n.host
+    JOIN h2 h ON h.host = n.host
+    JOIN a1 a ON a.host = n.host
     ORDER BY n.host
     """.replace(
         # the oracle replays domain_of_expr with the SAME suffix list the
@@ -2415,7 +2648,11 @@ def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     label — identical tie-break, no hashing on either side). The
     ``domain`` column replays ``domain_of_expr`` (registrable-domain
     rollup) generically in SQL with the SAME multi-part-suffix list the
-    engine compiles into its expression."""
+    engine compiles into its expression. ``hub``/``authority`` run the
+    engine's weighted HITS (two L1-normalized iterations, same
+    parenthesization) against the same unrolled-CTE replay — the sink
+    host must land hub 0 and the dangling/isle structure distinct
+    authority mass."""
     from .functions import graph
 
     d = t(spark, sf_dir, "documents")
@@ -2455,8 +2692,10 @@ def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.host_edges(site_pages.unionByName(isle_pages))
     pr = graph.pagerank(edges, iterations=3, damping=0.85)
     cc = graph.connected_components(edges)
+    ha = graph.hits(edges, iterations=2)
     return (
         pr.join(cc, "host")
+        .join(ha, "host")
         .select(
             "host",
             F.round("pagerank", 9).alias("pagerank"),
@@ -2464,6 +2703,8 @@ def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_degree",
             "component",
             graph.domain_of_expr("host").alias("domain"),
+            F.round("hub", 9).alias("hub"),
+            F.round("authority", 9).alias("authority"),
         )
         .orderBy("host")
     )
@@ -2476,6 +2717,8 @@ def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (insertion) order. Keep the registry <=50 total.
 _CHANGED_FIRST = [
     # new in r4
+    "recrawl_priority_stats",
+    "sitemap_parse_entries",
     "host_graph_pagerank",
     "q6_q14_scalar_metrics",
     "http_response_split_agg",

@@ -471,54 +471,83 @@ def pages_from_records(
 SITEMAP_SCHEMA = "url string, priority double"
 
 
-def seeds_from_sitemaps(bodies: DataFrame, default_priority: float = 0.5) -> DataFrame:
-    """Sitemap XML bodies -> a (url, priority) seeds table (the standard
-    seed source of a production crawl). Handles urlset entries
-    (``<url><loc>..</loc><priority>..</priority></url>``; missing priority
-    -> ``default_priority``) and sitemap-index files (``<sitemap><loc>``
-    rows are emitted with priority NULL so the caller can fetch and expand
-    them — a driver loop over index levels, each level one distributed
-    pass). Regex-based extraction (no XML lib needed for the sitemap
-    subset), vectorized per Arrow batch; duplicate urls max-merge like
-    synth_seeds."""
-    import re as _re
-
+def _xml_unescape(col):
+    """The five predefined XML entities, as chained literal replaces
+    (codegen'd JVM string ops). ``&amp;`` LAST, per XML decode order."""
     from pyspark.sql import functions as F
 
-    loc_re = _re.compile(r"<loc>\s*(.*?)\s*</loc>", _re.S)
-    url_block_re = _re.compile(r"<(url|sitemap)\b.*?</\1>", _re.S)
-    pri_re = _re.compile(r"<priority>\s*([0-9.]+)\s*</priority>")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            urls, pris = [], []
-            for body in pdf["body"]:
-                if body is None:
-                    continue
-                for m in url_block_re.finditer(body):
-                    block = m.group(0)
-                    loc = loc_re.search(block)
-                    if not loc:
-                        continue
-                    # un-escape the XML entities sitemaps commonly carry
-                    u = (
-                        loc.group(1)
-                        .replace("&amp;", "&")
-                        .replace("&lt;", "<")
-                        .replace("&gt;", ">")
-                        .replace("&quot;", '"')
-                        .replace("&apos;", "'")
-                    )
-                    if m.group(1) == "sitemap":
-                        urls.append(u)
-                        pris.append(None)  # index row: fetch + expand
-                        continue
-                    p = pri_re.search(block)
-                    urls.append(u)
-                    pris.append(float(p.group(1)) if p else default_priority)
-            yield pd.DataFrame({"url": urls, "priority": pris})
 
-    df = bodies.select("body").mapInPandas(kernel, SITEMAP_SCHEMA)
-    from pyspark.sql import functions as F  # noqa: F811
+def parse_sitemap_entries(
+    bodies: DataFrame, body_col: str = "body", keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Sitemap XML -> one row per entry, entirely JVM-side (regexp
+    built-ins inside whole-stage codegen — no Python in this hot path;
+    the sitemap XML subset needs no real XML parser). Emits::
 
-    return df.groupBy("url").agg(F.max("priority").alias("priority"))
+        *keep, loc, lastmod, changefreq, priority, is_index
+
+    ``is_index`` rows are ``<sitemap><loc>`` children of a sitemapindex
+    file (fetch + re-parse to expand — a driver loop over index levels,
+    each level one distributed map-only pass); urlset rows carry the
+    optional per-url ``lastmod``/``changefreq``/``priority`` hints (null
+    when absent). ``loc`` values are XML-entity-unescaped. Map-only:
+    explode + per-block regexp extraction, no exchange."""
+    from pyspark.sql import functions as F
+
+    block = F.explode(
+        F.regexp_extract_all(
+            F.col(body_col), F.lit(r"(?s)<(url|sitemap)\b.*?</\1\s*>"), 0
+        )
+    ).alias("_block")
+    df = bodies.select(*keep, block)
+
+    def tag(name, grab=r"(.*?)"):
+        pat = r"(?s)<%s\s*>\s*%s\s*</%s\s*>" % (name, grab, name)
+        return F.nullif(F.regexp_extract("_block", pat, 1), F.lit(""))
+
+    return (
+        df.select(
+            *keep,
+            _xml_unescape(tag("loc")).alias("loc"),
+            tag("lastmod").alias("lastmod"),
+            tag("changefreq").alias("changefreq"),
+            tag("priority", r"([0-9.eE+\-]+)").cast("double").alias("priority"),
+            F.col("_block").startswith("<sitemap").alias("is_index"),
+        )
+        .where(F.col("loc").isNotNull())
+    )
+
+
+def seeds_from_sitemaps(bodies: DataFrame, default_priority: float = 0.5) -> DataFrame:
+    """Sitemap XML bodies -> a (url, priority) seeds table (the standard
+    seed source of a production crawl). Urlset entries get their
+    ``<priority>`` hint (missing -> ``default_priority``); sitemap-index
+    rows are emitted with priority NULL so the caller can fetch and
+    expand them. Duplicate urls max-merge like synth_seeds. Built on
+    ``parse_sitemap_entries`` — map-only JVM extraction, then ONE slim
+    (url, priority) exchange for the merge."""
+    from pyspark.sql import functions as F
+
+    entries = parse_sitemap_entries(bodies)
+    return (
+        entries.select(
+            F.col("loc").alias("url"),
+            F.when(
+                F.col("is_index"), F.lit(None).cast("double")
+            )
+            .otherwise(F.coalesce("priority", F.lit(default_priority)))
+            .alias("priority"),
+        )
+        .groupBy("url")
+        .agg(F.max("priority").alias("priority"))
+    )
