@@ -112,10 +112,12 @@ def test_graph_subcommand(spark, tmp_path, capsys):
     edges_out = str(tmp_path / "hostedges")
     dom_out = str(tmp_path / "domedges")
     seeds_out = str(tmp_path / "graphseeds")
+    anchors_out = str(tmp_path / "anchors")
     res = _run(capsys, [
         "graph", "--synth-pages", "400", "--out", out,
         "--edges-out", edges_out, "--domain-edges-out", dom_out,
         "--seeds-out", seeds_out, "--top-hosts", "3",
+        "--anchors-out", anchors_out, "--top-anchors", "2",
         "--iterations", "3", "--seed", "11",
     ])
     assert res["hosts"] >= 1 and res["components"] >= 1
@@ -142,6 +144,11 @@ def test_graph_subcommand(spark, tmp_path, capsys):
     # priorities come from exactly the top 3 hosts, max normalized to 1.0
     assert seeds.agg(F.max("priority")).first()[0] == pytest.approx(1.0)
     assert seeds.select("priority").distinct().count() <= 3
+
+    anc = spark.read.parquet(anchors_out)
+    assert set(anc.columns) == {"dst", "anchor", "weight", "rank"}
+    assert 0 < res["anchor_hosts"] == anc.select("dst").distinct().count()
+    assert anc.agg(F.max("rank")).first()[0] <= 2
 
     # the graph->crawl loop: the emitted seed table drives the crawl CLI
     crawl_out = str(tmp_path / "crawl")

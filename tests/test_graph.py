@@ -359,6 +359,61 @@ class TestHostGraphFromPages:
         assert int(sum(r.weight for r in rows)) == want
 
 
+class TestAnchorTexts:
+    def _pages(self, spark, bodies_and_urls):
+        rows = [
+            (u, bytearray(("H\r\n\r\nHTTP/1.1 200 OK\r\n\r\n" + b).encode()))
+            for u, b in bodies_and_urls
+        ]
+        return spark.createDataFrame(rows, "url string, html binary")
+
+    def test_rollup_counts_and_empty_anchor_dropped(self, spark):
+        from warc_spark.functions.graph import anchor_texts_from_pages
+
+        pages = self._pages(spark, [
+            ("http://a.example.org/1",
+             '<a href="http://t.example.org/x">Target Site</a>'
+             '<a href="http://t.example.org/y">Target Site</a>'
+             '<a href="http://t.example.org/z"><img src="i.png"></a>'),
+            ("http://b.example.org/1",
+             '<a href="http://t.example.org/x">Target Site</a>'
+             '<a href="http://u.example.org/">other</a>'),
+        ])
+        got = {
+            (r.dst, r.anchor): r.weight
+            for r in anchor_texts_from_pages(pages).collect()
+        }
+        # both hosts call t "Target Site" (3 links); the image-only
+        # anchor drops; u gets its single label
+        assert got == {
+            ("t.example.org", "Target Site"): 3.0,
+            ("u.example.org", "other"): 1.0,
+        }
+
+    def test_top_anchors_rank_deterministic(self, spark):
+        from warc_spark.functions.graph import top_anchors
+
+        tbl = spark.createDataFrame(
+            [("t", "alpha", 5.0), ("t", "beta", 5.0), ("t", "gamma", 9.0),
+             ("u", "only", 1.0)],
+            "dst string, anchor string, weight double",
+        )
+        got = [(r.dst, r.anchor, r.rank) for r in
+               top_anchors(tbl, k=2).orderBy("dst", "rank").collect()]
+        # weight desc, then anchor asc on the tie
+        assert got == [
+            ("t", "gamma", 1), ("t", "alpha", 2), ("u", "only", 1),
+        ]
+
+    def test_null_record_safe(self, spark):
+        from warc_spark.functions.graph import anchor_texts_from_pages
+
+        pages = spark.createDataFrame(
+            [("http://a.example.org/1", None)], "url string, html binary"
+        )
+        assert anchor_texts_from_pages(pages).count() == 0
+
+
 class TestDomainRollup:
     def test_domain_of_expr_rules(self, spark):
         from warc_spark.functions.graph import domain_of_expr

@@ -127,6 +127,58 @@ class TestExtractLinks:
         assert extract_links(None, self.BASE) == []
 
 
+class TestExtractLinkAnchors:
+    def test_pairs_with_anchor_processing(self):
+        from warc_spark.kernels.htmlext import extract_link_anchors
+
+        html = (
+            '<base href="http://h.example.org/a/">'
+            '<a href="p1">First &amp; <b>bold</b></a>'
+            '<a href="p2">  spaced\n\t text </a>'
+            '<a href="/root">plain</a>'
+            '<a href="img"><img src="x.png"></a>'
+        )
+        assert extract_link_anchors(html, "http://decoy/") == [
+            ("http://h.example.org/a/p1", "First & bold"),
+            ("http://h.example.org/a/p2", "spaced text"),
+            ("http://h.example.org/root", "plain"),
+            ("http://h.example.org/a/img", ""),
+        ]
+
+    def test_same_skip_rules_as_extract_links(self):
+        from warc_spark.kernels.htmlext import extract_link_anchors
+
+        html = (
+            '<a href="#frag">f</a><a href="javascript:void(0)">j</a>'
+            "<!-- <a href=\"dead\">d</a> -->"
+            "<script>var s = '<a href=\"code\">c</a>';</script>"
+            '<a href="http://ok.example.org/x">ok</a>'
+        )
+        assert extract_link_anchors(html, None) == [
+            ("http://ok.example.org/x", "ok")
+        ]
+
+    def test_unclosed_and_area_are_href_only(self):
+        """Anchor text needs the closing tag: unclosed <a> and <area>
+        stay extract_links' job and emit no pair here."""
+        from warc_spark.kernels.htmlext import extract_link_anchors, extract_links
+
+        html = '<area href="http://a.example.org/m"><a href="http://b.example.org/u">tail'
+        assert extract_link_anchors(html, None) == []
+        assert extract_links(html, None) == [
+            "http://a.example.org/m", "http://b.example.org/u",
+        ]
+
+    def test_anchor_cap_and_none(self):
+        from warc_spark.kernels.htmlext import extract_link_anchors
+
+        long = "x" * 900
+        html = f'<a href="http://h.example.org/p">{long}</a>'
+        [(u, a)] = extract_link_anchors(html, None)
+        assert len(a) == 500
+        assert extract_link_anchors(None, "http://h/") == []
+
+
 class TestRedecodeUtf8:
     """Charset fix-up for the byte-preserving latin-1 ingest path."""
 

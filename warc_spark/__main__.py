@@ -163,6 +163,15 @@ def _build_parser() -> argparse.ArgumentParser:
         "--top-hosts", type=int, default=None,
         help="with --seeds-out: keep only pages on the N highest-ranked hosts",
     )
+    h.add_argument(
+        "--anchors-out",
+        help="also write the top-k anchor-text phrases per target host "
+             "(dst, anchor, weight, rank) — what in-links call each host",
+    )
+    h.add_argument(
+        "--top-anchors", type=int, default=5,
+        help="with --anchors-out: anchor phrases kept per host",
+    )
     h.add_argument("--master", default=None)
     h.add_argument("--seed", type=int, default=42)
 
@@ -303,6 +312,16 @@ def main(argv: list[str] | None = None) -> int:
                 pages, out, top_hosts=args.top_hosts
             ).write.mode("overwrite").parquet(args.seeds_out)
             res["seeds"] = spark.read.parquet(args.seeds_out).count()
+        if args.anchors_out:
+            from .functions.graph import anchor_texts_from_pages, top_anchors
+
+            top_anchors(
+                anchor_texts_from_pages(pages), k=args.top_anchors
+            ).write.mode("overwrite").parquet(args.anchors_out)
+            res["anchor_hosts"] = (
+                spark.read.parquet(args.anchors_out)
+                .select("dst").distinct().count()
+            )
         print(json.dumps(res))
         spark.stop()
         return 0

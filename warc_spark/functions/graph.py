@@ -112,6 +112,79 @@ def host_graph_from_pages(
     return host_edges(linked)
 
 
+def _anchors_html_kernel(html, url):
+    """WARC record bytes + page url -> array<struct<link, anchor>> of
+    resolved hrefs with their anchor text (same framing/NaN handling as
+    ``_links_only_html_kernel``; ``kernels/htmlext.extract_link_anchors``
+    does the work)."""
+    import pandas as pd
+
+    from ..kernels.htmlext import extract_link_anchors, redecode_html
+
+    s = html.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
+    body = [
+        redecode_html(b) if isinstance(b, str) else None
+        for b in s.str.split("\r\n\r\n", n=2).str[2]
+    ]
+    return pd.Series(
+        [
+            [{"link": u, "anchor": a} for u, a in extract_link_anchors(b, p)]
+            if b is not None
+            else None
+            for b, p in zip(body, url)
+        ],
+        dtype=object,
+    )
+
+
+def anchor_texts_from_pages(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """``(dst, anchor, weight)`` — what the web CALLS each target host:
+    anchor texts of all in-links, rolled up per (target host, anchor
+    phrase) with link counts. The anchor-text graph is the classic
+    relevance/labeling side-channel of a crawl (Common Crawl ships it in
+    WAT metadata; search and training-data pipelines join it onto the
+    link graph as independent target descriptions).
+
+    ONE Arrow pass of the links+anchors kernel, then explode map-side;
+    only (dst host, anchor<=500 chars) strings cross the single
+    aggregation exchange — page payloads never shuffle. Empty anchors
+    (image links) are dropped from the rollup."""
+    ex = F.pandas_udf(
+        _anchors_html_kernel, "array<struct<link: string, anchor: string>>"
+    )
+    pairs = pages.select(
+        ex(F.col(html_col), F.col(url_col)).alias("pairs")
+    ).select(F.explode("pairs").alias("p"))
+    return (
+        pairs.select(
+            host_of_expr(F.col("p.link")).alias("dst"),
+            F.col("p.anchor").alias("anchor"),
+        )
+        .where((F.col("dst") != "") & (F.col("anchor") != ""))
+        .groupBy("dst", "anchor")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+
+
+def top_anchors(anchor_table: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k anchor phrases per target host from an
+    ``anchor_texts_from_pages`` table — ranked deterministically by
+    (weight desc, anchor). One ranking window over the already-slim
+    rollup; Spark plans it as WindowGroupLimit (top-k pushed below the
+    sort, the same shape as the politeness budget)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst").orderBy(F.desc("weight"), "anchor")
+    return (
+        anchor_table.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,

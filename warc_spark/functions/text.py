@@ -202,6 +202,38 @@ html_links_udf = F.pandas_udf(_html_links_kernel, ArrayType(StringType()))
 Oracle-checked by doc_html_links_agg."""
 
 
+def _html_link_anchors_kernel(htmls: pd.Series, bases: pd.Series) -> pd.Series:
+    from ..kernels.htmlext import extract_link_anchors
+
+    return pd.Series(
+        [
+            [{"link": u, "anchor": a} for u, a in extract_link_anchors(h, b)]
+            for h, b in zip(htmls, bases)
+        ],
+        index=htmls.index,
+        dtype=object,
+    )
+
+
+from pyspark.sql.types import StructField, StructType  # noqa: E402
+
+# a type OBJECT, not a DDL string: string return types parse lazily via
+# the active SparkContext, which doesn't exist yet at import time
+_LINK_ANCHOR_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("link", StringType()),
+            StructField("anchor", StringType()),
+        ]
+    )
+)
+
+html_link_anchors_udf = F.pandas_udf(_html_link_anchors_kernel, _LINK_ANCHOR_TYPE)
+"""(resolved href, anchor text) pairs of an HTML string column — the
+anchor-text web-graph signal (kernels/htmlext.extract_link_anchors).
+Oracle-checked by doc_html_links_agg's anchor column."""
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Project the full text-analysis feature set (built-ins only)."""
     c = F.col(text_col)

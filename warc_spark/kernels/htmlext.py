@@ -169,6 +169,58 @@ def _href_of(groups: tuple) -> str:
     return ""
 
 
+# well-formed <a ...href...>inner</a> pairs; group 4 = inner markup.
+# (anchor TEXT needs the closing tag; href-only extraction — including
+# <area> and unclosed <a> — stays extract_links' job)
+_A_TEXT_RE = re.compile(
+    r"<a\b[^>]*?" + _HREF_VAL + r"[^>]*>(.*?)</a\s*>", re.I | re.S
+)
+_WS_RUN_RE = re.compile(r"\s+")
+
+
+def _anchor_text(inner: str) -> str:
+    """Anchor markup -> display text: strip tags, decode entities AFTER
+    (same order as html_to_text), collapse all whitespace to single
+    spaces, trim. Capped at 500 chars — real-world anchor text is short;
+    the cap bounds per-row state for the host-level rollup."""
+    t = _WS_RUN_RE.sub(" ", _html.unescape(_TAG_RE.sub("", inner))).strip()
+    return t[:500]
+
+
+def extract_link_anchors(
+    html: str | None, base_url: str | None
+) -> list[tuple[str, str]]:
+    """``(resolved_href, anchor_text)`` pairs of a page — the anchor-text
+    web-graph product (what a target url's in-links CALL it: the classic
+    relevance/labeling signal a search or training-data pipeline joins
+    onto the link graph). Same href rules as ``extract_links`` (comment/
+    script/style content dropped, ``<base>`` rebasing, entity-unescaped,
+    dead schemes and pure fragments skipped) over the WELL-FORMED
+    ``<a>..</a>`` subset — anchor text requires the closing tag;
+    ``<area>`` (no text content) and unclosed anchors are href-only and
+    remain ``extract_links``' job. Empty anchor (image links etc.) stays
+    ``''`` — presence in the graph matters even unlabeled."""
+    if html is None:
+        return []
+    s = _DROP_OPEN_RE.sub(" ", _DROP_RE.sub(" ", _COMMENT_RE.sub(" ", html)))
+    base = base_url or ""
+    bm = _BASE_RE.search(s)
+    if bm:
+        base = urljoin(base, _html.unescape(_href_of(bm.groups())).strip())
+    out: list[tuple[str, str]] = []
+    for m in _A_TEXT_RE.finditer(s):
+        href = _html.unescape(_href_of(m.groups()[:3])).strip()
+        if not href or href.startswith("#"):
+            continue
+        low = href.lower()
+        if any(low.startswith(sch) for sch in _SKIP_SCHEMES):
+            continue
+        u, _frag = urldefrag(urljoin(base, href))
+        if u:
+            out.append((u, _anchor_text(m.group(4))))
+    return out
+
+
 def extract_links(html: str | None, base_url: str | None) -> list[str]:
     """Resolved out-links of a page (rules in the module docstring)."""
     if html is None:

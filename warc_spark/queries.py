@@ -983,29 +983,36 @@ def doc_html_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_html_links_agg",
     oracle="""
-    SELECT doc_id, link FROM (
+    SELECT doc_id, link, anchor FROM (
       SELECT doc_id,
-             'http://site' || (doc_id % 7) || '.example.com/a/b/page1.html' AS link
+             'http://site' || (doc_id % 7) || '.example.com/a/b/page1.html' AS link,
+             'First & bold' AS anchor
       FROM documents
       UNION ALL SELECT doc_id,
-             'http://site' || (doc_id % 7) || '.example.com/a/up.html?q=1&r=2'
+             'http://site' || (doc_id % 7) || '.example.com/a/up.html?q=1&r=2',
+             'spaced text'
       FROM documents
       UNION ALL SELECT doc_id,
-             'http://site' || (doc_id % 7) || '.example.com/rooted/' || doc_id
+             'http://site' || (doc_id % 7) || '.example.com/rooted/' || doc_id,
+             'see ' || doc_id
       FROM documents
-      UNION ALL SELECT doc_id, 'https://other.example.org/abs' FROM documents
+      UNION ALL SELECT doc_id, 'https://other.example.org/abs', ''
+      FROM documents
     ) ORDER BY doc_id, link
     """,
 )
 def doc_html_links_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relative-href resolution oracle-checked end to end: per document, a
-    page with a ``<base>`` tag, relative/parent/rooted/entity-escaped/
-    absolute hrefs plus fragment/javascript/commented-out links is pushed
-    through the link extractor; the resolved out-links must equal the
-    closed forms the oracle computes (urljoin semantics: sibling, parent,
-    root-relative, query preserved with ``&amp;`` decoded; dead links
-    skipped). The page url passed to the extractor is a decoy — the
-    ``<base>`` must win."""
+    """Relative-href resolution AND anchor-text pairing oracle-checked end
+    to end: per document, a page with a ``<base>`` tag, relative/parent/
+    rooted/entity-escaped/absolute hrefs plus fragment/javascript/
+    commented-out links goes through ``extract_link_anchors``; the
+    resolved out-links must equal the closed forms the oracle computes
+    (urljoin semantics: sibling, parent, root-relative, query preserved
+    with ``&amp;`` decoded; dead links skipped) and each link must carry
+    ITS OWN anchor text — entity-decoded (``&amp;`` -> ``&``), inner tags
+    stripped (``<b>``), whitespace collapsed, image-only anchors ``''``.
+    The page url passed to the extractor is a decoy — the ``<base>``
+    must win."""
     d = t(spark, sf_dir, "documents")
     doc_s = F.col("doc_id").cast("string")
     base = F.concat(
@@ -1015,21 +1022,26 @@ def doc_html_links_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit('<html><head><base href="'), base, F.lit('"></head><body>'),
         F.lit(
-            '<a href="page1.html">x</a>'
-            '<a href="../up.html?q=1&amp;r=2">y</a>'
+            '<a href="page1.html">First &amp; <b>bold</b></a>'
+            '<a href="../up.html?q=1&amp;r=2">  spaced\n\t text </a>'
             '<a href="/rooted/'
         ),
         doc_s,
+        F.lit('">see '),
+        doc_s,
         F.lit(
-            '">z</a>'
+            "</a>"
             '<a href="#frag">s</a><a href="javascript:void(0)">s</a>'
-            '<a href="https://other.example.org/abs">w</a>'
+            '<a href="https://other.example.org/abs"><img src="x.png"></a>'
             '<!-- <a href="dead.html">d</a> --></body></html>'
         ),
     )
-    links = text.html_links_udf(html, F.lit("http://pages.example.net/decoy"))
+    pairs = text.html_link_anchors_udf(
+        html, F.lit("http://pages.example.net/decoy")
+    )
     return (
-        d.select("doc_id", F.explode(links).alias("link"))
+        d.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.link").alias("link"), F.col("p.anchor").alias("anchor"))
         .orderBy("doc_id", "link")
     )
 
