@@ -39,6 +39,32 @@ def test_politeness_budget_overrides(spark, frontier):
     assert counts["host0.example.org"] == 4
 
 
+def test_politeness_domain_level_budget(spark):
+    """Registrable-DOMAIN budgets compose from the same operator: key the
+    window on domain_of_expr(host) — one crawl budget shared by all of a
+    domain's subdomains (how large crawls cap farm-style *.example.co.uk
+    hosts), no new operator needed."""
+    from warc_spark.functions.graph import domain_of_expr
+    from warc_spark.operators.politeness import flag_politeness
+
+    rows = [
+        (f"http://{sub}.farm.co.uk/p/{i}", f"{sub}.farm.co.uk", float(10 - i))
+        for sub in ("a", "b", "c") for i in range(4)
+    ] + [(f"http://solo.example.org/p/{i}", "solo.example.org", 1.0)
+         for i in range(4)]
+    fr = spark.createDataFrame(rows, "url string, host string, priority double")
+    out = flag_politeness(
+        fr.withColumn("domain", domain_of_expr("host")),
+        default_budget=3,
+        host_col="domain",
+    )
+    kept = out.filter("kept").groupBy("domain").count().collect()
+    got = {r.domain: r["count"] for r in kept}
+    # 12 farm.co.uk urls across 3 subdomains share ONE budget of 3;
+    # the unrelated domain keeps its own 3-of-4
+    assert got == {"farm.co.uk": 3, "example.org": 3}
+
+
 def test_robots_gate(spark, frontier):
     robots = spark.createDataFrame(
         [

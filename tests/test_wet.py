@@ -73,3 +73,27 @@ def test_wat_envelope(spark, tmp_path):
         assert env["refers_to"] == orig[r.target_uri].record_id
         assert r.headers["warc-refers-to"] == orig[r.target_uri].record_id
         assert env["digest"] == orig[r.target_uri].payload_digest
+        # CC-style HTML-Metadata block: title, base, anchor-text links
+        assert env["title"] == "page"
+        assert env["base"] == r.target_uri
+        assert len(env["links"]) >= 2
+        for link in env["links"]:
+            assert link["url"].startswith("http://host")
+            assert link["text"] == "l"
+
+
+def test_wat_html_metadata_gating(spark, tmp_path):
+    """Non-HTML captures get null HTML-Metadata; with_html_metadata=False
+    omits the keys entirely (and never decodes the body)."""
+    from warc_spark.sources.wet import wat_records
+
+    pages = synth_pages(spark, 6, seed=3, n_hosts=2)
+    recs = parse_warc_column(pages, "html", keep=[])
+    rows = wat_records(recs).collect()
+    assert all(
+        json.loads(bytes(r.payload).decode())["title"] == "page" for r in rows
+    )
+    lean = wat_records(recs, with_html_metadata=False).collect()
+    for r in lean:
+        env = json.loads(bytes(r.payload).decode())
+        assert "links" not in env and "title" not in env

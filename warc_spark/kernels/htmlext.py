@@ -176,6 +176,45 @@ _A_TEXT_RE = re.compile(
     r"<a\b[^>]*?" + _HREF_VAL + r"[^>]*>(.*?)</a\s*>", re.I | re.S
 )
 _WS_RUN_RE = re.compile(r"\s+")
+_TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>", re.I | re.S)
+
+
+def _cleaned(html: str) -> str:
+    """Comments and script/style/noscript/template content dropped — the
+    shared first step of every link/metadata extractor here."""
+    return _DROP_OPEN_RE.sub(" ", _DROP_RE.sub(" ", _COMMENT_RE.sub(" ", html)))
+
+
+def _resolved_base(s: str, base_url: str | None) -> str:
+    """The effective base the href extractors resolve against: the first
+    ``<base href>`` (itself resolved against the page url), else the page
+    url. ``s`` must already be ``_cleaned``."""
+    base = base_url or ""
+    bm = _BASE_RE.search(s)
+    if bm:
+        base = urljoin(base, _html.unescape(_href_of(bm.groups())).strip())
+    return base
+
+
+def html_title(html: str | None) -> str | None:
+    """First ``<title>`` content, processed like anchor text (tags
+    stripped, entities decoded after, whitespace collapsed, 500-char
+    cap); None when absent — the WAT Head.Title field."""
+    if html is None:
+        return None
+    m = _TITLE_RE.search(_cleaned(html))
+    if not m:
+        return None
+    return _anchor_text(m.group(1)) or None
+
+
+def resolve_base(html: str | None, page_url: str | None) -> str | None:
+    """The base url ``extract_links``/``extract_link_anchors`` would use
+    for this page (``<base href>``-aware) — the WAT Head.Base field.
+    None when neither a base tag nor a page url yields one."""
+    if html is None:
+        return page_url or None
+    return _resolved_base(_cleaned(html), page_url) or None
 
 
 def _anchor_text(inner: str) -> str:
@@ -202,11 +241,8 @@ def extract_link_anchors(
     ``''`` — presence in the graph matters even unlabeled."""
     if html is None:
         return []
-    s = _DROP_OPEN_RE.sub(" ", _DROP_RE.sub(" ", _COMMENT_RE.sub(" ", html)))
-    base = base_url or ""
-    bm = _BASE_RE.search(s)
-    if bm:
-        base = urljoin(base, _html.unescape(_href_of(bm.groups())).strip())
+    s = _cleaned(html)
+    base = _resolved_base(s, base_url)
     out: list[tuple[str, str]] = []
     for m in _A_TEXT_RE.finditer(s):
         href = _html.unescape(_href_of(m.groups()[:3])).strip()
@@ -225,11 +261,8 @@ def extract_links(html: str | None, base_url: str | None) -> list[str]:
     """Resolved out-links of a page (rules in the module docstring)."""
     if html is None:
         return []
-    s = _DROP_OPEN_RE.sub(" ", _DROP_RE.sub(" ", _COMMENT_RE.sub(" ", html)))
-    base = base_url or ""
-    bm = _BASE_RE.search(s)
-    if bm:
-        base = urljoin(base, _html.unescape(_href_of(bm.groups())).strip())
+    s = _cleaned(html)
+    base = _resolved_base(s, base_url)
     out: list[str] = []
     for m in _A_RE.finditer(s):
         href = _html.unescape(_href_of(m.groups())).strip()

@@ -89,11 +89,54 @@ def wet_records(pages: DataFrame) -> DataFrame:
     )
 
 
-def wat_records(records: DataFrame) -> DataFrame:
+def _html_meta_kernel(body, url, ctype):
+    """(http_body, url, content_type) -> struct(title, base, links) — the
+    WAT HTML-Metadata block (what Common Crawl's WAT carries as
+    Envelope..HTML-Metadata: Head.Title, Head.Base, the out-links with
+    their anchor text). Non-HTML / bodyless rows yield nulls. One Arrow
+    pass; kernels/htmlext does the work."""
+    import pandas as pd
+
+    from ..kernels.htmlext import (
+        extract_link_anchors,
+        html_title,
+        redecode_html,
+        resolve_base,
+    )
+
+    titles, bases, links = [], [], []
+    for b, u, c in zip(body, url, ctype):
+        if b is None or c is None or "html" not in c:
+            titles.append(None)
+            bases.append(None)
+            links.append(None)
+            continue
+        s = redecode_html(bytes(b).decode("latin-1"))
+        titles.append(html_title(s))
+        bases.append(resolve_base(s, u))
+        links.append(
+            [{"url": lu, "text": lt} for lu, lt in extract_link_anchors(s, u)]
+        )
+    return pd.DataFrame({"title": titles, "base": bases, "links": links})
+
+
+def wat_records(records: DataFrame, with_html_metadata: bool = True) -> DataFrame:
     """records scan -> sink-ready WAT rows: one ``metadata`` record per
     response capture, payload = a JSON envelope with the capture's HTTP
-    facts (status, mime, headers) and geometry (offset, length, digest) —
-    built by ``to_json(struct(...))``, all JVM-side."""
+    facts (status, mime, headers), geometry (offset, length, digest) and
+    — like Common Crawl's WAT — an HTML-Metadata block (``title``,
+    ``base``, ``links`` with per-link anchor ``text``) for html captures.
+    Envelope built by ``to_json(struct(...))`` JVM-side; the metadata
+    block is the only Python stage (one Arrow pass of the htmlext
+    kernels; ``with_html_metadata=False`` skips it and the body never
+    crosses the boundary)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     from .warc_source import split_http_payload
 
     sp = split_http_payload(
@@ -102,20 +145,46 @@ def wat_records(records: DataFrame) -> DataFrame:
         ),
         drop_payload=True,
     )
-    env = F.to_json(
-        F.struct(
-            F.col("target_uri").alias("url"),
-            _date_str(F.col("warc_date")).alias("warc_date"),
-            F.col("http_status").alias("status"),
-            F.col("http_content_type").alias("mime"),
-            F.col("http_headers").alias("http_headers"),
-            F.col("payload_digest").alias("digest"),
-            F.col("offset").alias("offset"),
-            F.col("size").alias("length"),
-            F.col("record_id").alias("refers_to"),
-        ),
-        {"ignoreNullFields": "false"},
-    )
+    env_fields = [
+        F.col("target_uri").alias("url"),
+        _date_str(F.col("warc_date")).alias("warc_date"),
+        F.col("http_status").alias("status"),
+        F.col("http_content_type").alias("mime"),
+        F.col("http_headers").alias("http_headers"),
+        F.col("payload_digest").alias("digest"),
+        F.col("offset").alias("offset"),
+        F.col("size").alias("length"),
+        F.col("record_id").alias("refers_to"),
+    ]
+    if with_html_metadata:
+        meta_type = StructType(
+            [
+                StructField("title", StringType()),
+                StructField("base", StringType()),
+                StructField(
+                    "links",
+                    ArrayType(
+                        StructType(
+                            [
+                                StructField("url", StringType()),
+                                StructField("text", StringType()),
+                            ]
+                        )
+                    ),
+                ),
+            ]
+        )
+        meta_udf = F.pandas_udf(_html_meta_kernel, meta_type)
+        sp = sp.withColumn(
+            "_hm",
+            meta_udf("http_body", "target_uri", "http_content_type"),
+        )
+        env_fields += [
+            F.col("_hm.title").alias("title"),
+            F.col("_hm.base").alias("base"),
+            F.col("_hm.links").alias("links"),
+        ]
+    env = F.to_json(F.struct(*env_fields), {"ignoreNullFields": "false"})
     extra = [("WARC-Refers-To", F.col("record_id"))]
     return sp.select(
         *_sink_rows(
