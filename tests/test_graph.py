@@ -223,6 +223,10 @@ class TestHits:
         plan = _plan(hits(e, iterations=2))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_zero_iterations_rejected(self):
+        with pytest.raises(ValueError):
+            hits(None, iterations=0)
+
 
 class TestConnectedComponents:
     def test_two_components_and_chain(self, spark):

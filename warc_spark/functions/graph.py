@@ -306,6 +306,8 @@ def hits(
     lazy plan with zero driver actions; score tables are (host string,
     double) — slim at any node count. Deterministic up to float-sum
     ordering (round when comparing across engines)."""
+    if iterations < 1:
+        raise ValueError("hits() needs at least one iteration")
     if cache_static:
         edges = edges.persist()
     nodes = (
