@@ -99,6 +99,42 @@ class TestDegenerate:
         assert a.priority == b.priority
 
 
+class TestCrawlDelta:
+    def test_statuses(self, spark):
+        from warc_spark.operators.recrawl import crawl_delta
+
+        old = spark.createDataFrame(
+            [("u1", "A"), ("u2", "B"), ("u3", "C")], "url string, digest string"
+        )
+        new = spark.createDataFrame(
+            [("u1", "A"), ("u2", "B2"), ("u4", "D")], "url string, digest string"
+        )
+        got = {r.url: r for r in crawl_delta(old, new).collect()}
+        assert got["u1"].status == "unchanged"
+        assert got["u2"].status == "changed"
+        assert (got["u2"].old_digest, got["u2"].new_digest) == ("B", "B2")
+        assert got["u3"].status == "gone" and got["u3"].new_digest is None
+        assert got["u4"].status == "added" and got["u4"].old_digest is None
+
+    def test_latest_captures_total_order(self, spark):
+        from warc_spark.operators.recrawl import latest_captures
+
+        rows = [("u", 100, "A"), ("u", 200, "C"), ("u", 200, "B"), ("v", 5, "X")]
+        for parts in (1, 7):
+            c = _caps(spark, rows).repartition(parts)
+            got = {r.url: r.digest for r in latest_captures(c).collect()}
+            # ts tie at 200 breaks by digest: C wins over B
+            assert got == {"u": "C", "v": "X"}
+
+    def test_empty_sides(self, spark):
+        from warc_spark.operators.recrawl import crawl_delta
+
+        old = spark.createDataFrame([("u1", "A")], "url string, digest string")
+        empty = old.where("1=0")
+        assert [r.status for r in crawl_delta(old, empty).collect()] == ["gone"]
+        assert [r.status for r in crawl_delta(empty, old).collect()] == ["added"]
+
+
 class TestSeedsAndPlan:
     def test_seeds_filter_and_shape(self, spark):
         c = _caps(

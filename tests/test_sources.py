@@ -620,6 +620,28 @@ def test_parse_sitemap_entries(spark):
     assert not re.findall(r"\(\d+\) Exchange", plan)  # map-only
 
 
+def test_parse_sitemap_entries_gzip(spark):
+    """binary=True gunzips .xml.gz blobs; plain and corrupt blobs pass
+    through the lax fallback."""
+    import gzip
+
+    from warc_spark.sources.pages import parse_sitemap_entries
+
+    xml = "<urlset><url><loc>http://h.example.org/gz</loc></url></urlset>"
+    plain = "<urlset><url><loc>http://h.example.org/plain</loc></url></urlset>"
+    df = spark.createDataFrame(
+        [
+            (bytearray(gzip.compress(xml.encode())),),
+            (bytearray(plain.encode()),),
+            (bytearray(b"\x1f\x8b\x00truncated"),),  # lax: raw fallback
+            (None,),
+        ],
+        "body binary",
+    )
+    locs = {r.loc for r in parse_sitemap_entries(df, binary=True).collect()}
+    assert locs == {"http://h.example.org/gz", "http://h.example.org/plain"}
+
+
 def test_seeds_from_sitemaps(spark):
     from warc_spark.sources.pages import seeds_from_sitemaps
 

@@ -101,6 +101,59 @@ def recrawl_priority(
     )
 
 
+def latest_captures(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "payload_digest",
+) -> DataFrame:
+    """One row per url: the LAST capture's digest, ordered by
+    ``(ts, digest)`` — the same total order ``recrawl_priority`` uses, so
+    a timestamp tie cannot flip which digest represents the crawl at any
+    parallelism. One url-keyed exchange; max_by is a map-side-combining
+    aggregate (no window, no sort)."""
+    return captures.groupBy(F.col(url_col).alias("url")).agg(
+        F.max_by(
+            F.col(digest_col),
+            F.struct(F.col(ts_col).alias("t"), F.col(digest_col).alias("d")),
+        ).alias("digest")
+    )
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Diff two crawls: ``(url, status, old_digest, new_digest)`` where
+    status is ``added`` (url only in the new crawl), ``gone`` (only in
+    the old), ``changed`` (both, different digest) or ``unchanged`` —
+    the crawl-over-crawl delta report every recurring crawl publishes
+    (and the input to deletion-aware seen-state expiry: ``gone`` urls are
+    cuckoo-delete candidates, ``changed`` urls feed ``recrawl_priority``
+    as fresh change observations).
+
+    Inputs are one-row-per-url digest tables (reduce raw capture history
+    with ``latest_captures`` first). ONE url-keyed full-outer sort-merge
+    join of two slim (url, digest) projections — correct and skew-free at
+    any corpus size (url is unique on both sides)."""
+    o = old.select(
+        F.col(url_col).alias("url"), F.col(digest_col).alias("old_digest")
+    )
+    n = new.select(
+        F.col(url_col).alias("url"), F.col(digest_col).alias("new_digest")
+    )
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("gone"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("url", status.alias("status"), "old_digest", "new_digest")
+
+
 def recrawl_seeds(
     captures: DataFrame,
     asof,

@@ -259,21 +259,91 @@ def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# (orders_monthly was retired from the registry in r4 to keep it inside
+# the driver's 50-entry window: its date_trunc groupBy shape stays
+# oracled through rollup_orders_status_priority and stream_events_hourly;
+# the slot went to crawl_delta_agg.)
+
+
 @register(
-    "orders_monthly",
+    "crawl_delta_agg",
     oracle="""
-    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-    FROM orders GROUP BY 1
+    WITH o AS (
+      SELECT 'http://site' || (doc_id % 7) || '.example.com/p/' || doc_id
+               AS url,
+             md5(doc_id || ':' || (doc_id % 4)) AS od
+      FROM documents WHERE doc_id % 10 != 9),
+    n AS (
+      SELECT 'http://site' || (doc_id % 7) || '.example.com/p/' || doc_id
+               AS url,
+             md5(doc_id || ':' ||
+                 (CASE WHEN doc_id % 3 = 0 THEN doc_id % 4 + 1
+                       ELSE doc_id % 4 END)) AS nd
+      FROM documents WHERE doc_id % 10 != 0)
+    SELECT COALESCE(o.url, n.url) AS url,
+           CASE WHEN o.url IS NULL THEN 'added'
+                WHEN n.url IS NULL THEN 'gone'
+                WHEN od != nd THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           od AS old_digest,
+           nd AS new_digest
+    FROM o FULL OUTER JOIN n ON n.url = o.url
+    ORDER BY url
     """,
 )
-def orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        F.count("*").alias("n_orders"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+def crawl_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl diff (operators/recrawl.py): two crawls are
+    synthesized closed-form from doc_id — every 10th url is gone from the
+    new crawl, every (10k+9)th is newly added, and every multiple of 3
+    changed its payload digest. The NEW side arrives as a two-capture
+    history (the final digest on the later timestamp) and must first be
+    reduced by ``latest_captures`` — picking the wrong capture flips
+    changed/unchanged rows and fails the hash. ``crawl_delta`` then joins
+    the two slim (url, digest) tables full-outer and labels added / gone /
+    changed / unchanged; the oracle replays both sides and the join in
+    SQL."""
+    from .operators.recrawl import crawl_delta, latest_captures
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    doc_s = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("http://site"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".example.com/p/"),
+        doc_s,
     )
+    base = F.md5(
+        F.concat(doc_s, F.lit(":"), F.pmod(F.col("doc_id"), F.lit(4)).cast("string"))
+    )
+    final = F.md5(
+        F.concat(
+            doc_s,
+            F.lit(":"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.pmod(F.col("doc_id"), F.lit(4)) + 1,
+            )
+            .otherwise(F.pmod(F.col("doc_id"), F.lit(4)))
+            .cast("string"),
+        )
+    )
+    old = d.where(F.pmod(F.col("doc_id"), F.lit(10)) != 9).select(
+        url.alias("url"), base.alias("digest")
+    )
+    new_caps = (
+        d.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+        .select("doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("i"))
+        .select(
+            url.alias("url"),
+            F.timestamp_seconds(F.lit(1767225600) + F.col("i") * 3600).alias(
+                "warc_ts"
+            ),
+            F.when(F.col("i") == 0, base).otherwise(final).alias(
+                "payload_digest"
+            ),
+        )
+    )
+    return crawl_delta(old, latest_captures(new_caps)).orderBy("url")
 
 
 # (r4: the former customers_without_orders entry was retired — it returned
@@ -2729,6 +2799,7 @@ def host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (insertion) order. Keep the registry <=50 total.
 _CHANGED_FIRST = [
     # new in r4
+    "crawl_delta_agg",
     "recrawl_priority_stats",
     "sitemap_parse_entries",
     "host_graph_pagerank",

@@ -487,8 +487,35 @@ def _xml_unescape(col):
     return col
 
 
+def _gunzip_text_kernel(col: pd.Series) -> pd.Series:
+    """binary -> text: whole-blob gunzip when gzip-magic'd (sitemaps ship
+    as .xml.gz), then utf-8 with a latin-1 fallback. Truncated/corrupt
+    gzip falls back to the raw bytes (lax, like the record scanners)."""
+    import gzip
+
+    out = []
+    for b in col:
+        if b is None:
+            out.append(None)
+            continue
+        b = bytes(b)
+        if b[:2] == b"\x1f\x8b":
+            try:
+                b = gzip.decompress(b)
+            except (OSError, EOFError):
+                pass
+        try:
+            out.append(b.decode("utf-8"))
+        except UnicodeDecodeError:
+            out.append(b.decode("latin-1"))
+    return pd.Series(out, dtype=object)
+
+
 def parse_sitemap_entries(
-    bodies: DataFrame, body_col: str = "body", keep: tuple[str, ...] = ()
+    bodies: DataFrame,
+    body_col: str = "body",
+    keep: tuple[str, ...] = (),
+    binary: bool = False,
 ) -> DataFrame:
     """Sitemap XML -> one row per entry, entirely JVM-side (regexp
     built-ins inside whole-stage codegen — no Python in this hot path;
@@ -501,9 +528,17 @@ def parse_sitemap_entries(
     each level one distributed map-only pass); urlset rows carry the
     optional per-url ``lastmod``/``changefreq``/``priority`` hints (null
     when absent). ``loc`` values are XML-entity-unescaped. Map-only:
-    explode + per-block regexp extraction, no exchange."""
+    explode + per-block regexp extraction, no exchange. ``binary=True``
+    accepts a binary column and first gunzips gzip-magic'd blobs
+    (``sitemap.xml.gz`` — the standard wire format) in one Arrow pass;
+    plain-text sitemaps keep the all-JVM path."""
     from pyspark.sql import functions as F
 
+    if binary:
+        bodies = bodies.withColumn(
+            body_col,
+            F.pandas_udf(_gunzip_text_kernel, StringType())(F.col(body_col)),
+        )
     block = F.explode(
         F.regexp_extract_all(
             F.col(body_col), F.lit(r"(?s)<(url|sitemap)\b.*?</\1\s*>"), 0
