@@ -18,22 +18,23 @@ def plan_of(df) -> str:
 
 
 def test_q6_pushdown_and_pruning(spark, sf_dir):
-    """TPC-H Q6 shape (the Q6 leg of the merged q6_q14 entry): every
+    """TPC-H Q6 shape (the Q6 leg of the merged q6_q14_q17 entry): every
     predicate reaches the parquet scan; that scan reads only the 4
-    referenced columns (of 11). The plan also contains the Q14 leg's
-    scans, so locate the Q6 scan by its l_quantity pushdown."""
+    referenced columns (of 11). The plan also contains the Q14 and Q17
+    legs' scans, so locate the Q6 scan by its pushed l_quantity AND
+    l_shipdate (Q17's scans push quantity but never shipdate)."""
     from warc_spark.queries import queries
 
-    p = plan_of(queries()["q6_q14_scalar_metrics"](spark, sf_dir))
+    p = plan_of(queries()["q6_q14_q17_scalar_metrics"](spark, sf_dir))
     pushed = [
         ln for ln in p.splitlines()
-        if "PushedFilters" in ln and "l_quantity" in ln
+        if "PushedFilters" in ln and "l_quantity" in ln and "l_shipdate" in ln
     ][0]
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
         assert frag in pushed
     reads = [
         ln for ln in p.splitlines()
-        if "ReadSchema" in ln and "l_quantity" in ln
+        if "ReadSchema" in ln and "l_quantity" in ln and "l_shipdate" in ln
     ]
     assert reads and all("l_extendedprice" in r for r in reads)
     # the wide columns must be pruned away from the Q6 scan

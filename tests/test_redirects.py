@@ -1,0 +1,80 @@
+"""Redirect-chain resolution (operators/redirects.py): edge extraction
+rules, chain walking, loops, dangling targets, and the Python-free plan."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from warc_spark.operators.redirects import redirect_edges, resolve_redirects
+
+
+def _caps(spark, rows):
+    """rows: (url, http_status, location)"""
+    return spark.createDataFrame(
+        rows, "url string, http_status int, location string"
+    )
+
+
+class TestEdges:
+    def test_statuses_and_location_resolution(self, spark):
+        c = _caps(spark, [
+            ("http://h.example.org/a", 301, "http://x.example.org/t"),
+            ("http://h.example.org/b", 302, "/rooted"),       # root-relative
+            ("http://h.example.org/c", 200, "http://ignored/"),  # not a 3xx
+            ("http://h.example.org/d", 307, None),            # no Location
+            ("http://h.example.org/e", 308, ""),              # empty Location
+            ("http://h.example.org/f", 303, "relative/path"), # passes through
+        ])
+        got = {r.url: r.target for r in redirect_edges(c).collect()}
+        assert got == {
+            "http://h.example.org/a": "http://x.example.org/t",
+            "http://h.example.org/b": "http://h.example.org/rooted",
+            "http://h.example.org/f": "relative/path",
+        }
+
+
+class TestResolve:
+    def test_chain_dangling_and_loop(self, spark):
+        c = _caps(spark, [
+            # a -> b -> c (200): 2 hops, resolved, status 200
+            ("http://h/a", 301, "http://h/b"),
+            ("http://h/b", 301, "http://h/c"),
+            ("http://h/c", 200, None),
+            # d -> missing: dangling (resolved, null status)
+            ("http://h/d", 302, "http://h/nowhere"),
+            # e <-> f loop: unresolved after max_hops
+            ("http://h/e", 301, "http://h/f"),
+            ("http://h/f", 301, "http://h/e"),
+        ])
+        got = {r.url: r for r in resolve_redirects(c, max_hops=8).collect()}
+        a = got["http://h/a"]
+        assert (a.final_url, a.hops, a.final_status, a.resolved) == (
+            "http://h/c", 2, 200, True)
+        assert (got["http://h/c"].hops, got["http://h/c"].final_status) == (0, 200)
+        d = got["http://h/d"]
+        assert (d.final_url, d.final_status, d.resolved) == (
+            "http://h/nowhere", None, True)
+        e = got["http://h/e"]
+        assert (e.final_url, e.hops, e.resolved) == ("http://h/e", 8, False)
+        assert e.final_status is None
+
+    def test_chain_cut_at_max_hops(self, spark):
+        urls = [f"http://h/{i}" for i in range(6)]
+        rows = [(urls[i], 301, urls[i + 1]) for i in range(5)] + [
+            (urls[5], 200, None)
+        ]
+        got = {r.url: r for r in resolve_redirects(_caps(spark, rows), max_hops=3).collect()}
+        r0 = got[urls[0]]
+        # stopped mid-chain on a redirect -> unresolved
+        assert (r0.final_url, r0.hops, r0.resolved) == (urls[3], 3, False)
+        r3 = got[urls[3]]
+        assert (r3.final_url, r3.hops, r3.resolved) == (urls[5], 2, True)
+
+    def test_no_python_in_plan(self, spark):
+        c = _caps(spark, [("http://h/a", 301, "http://h/b"), ("http://h/b", 200, None)])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            resolve_redirects(c, max_hops=4).explain("formatted")
+        plan = buf.getvalue()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1945,7 +1945,7 @@ def _media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 @register(
-    "q6_q14_scalar_metrics",
+    "q6_q14_q17_scalar_metrics",
     oracle="""
     SELECT * FROM
     (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -1965,18 +1965,28 @@ def _media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   6) AS promo_pct
      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
      WHERE l.l_shipdate >= TIMESTAMP '1999-03-01 00:00:00'
-       AND l.l_shipdate <  TIMESTAMP '1999-04-01 00:00:00')
+       AND l.l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'),
+    (SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / 7.0, 6) AS avg_yearly
+     FROM lineitem l
+     JOIN (SELECT l_partkey, 0.2 * AVG(CAST(l_quantity AS DECIMAL(18,2))) AS qty_bar
+           FROM lineitem GROUP BY l_partkey) t
+       ON t.l_partkey = l.l_partkey
+     JOIN part p ON p.p_partkey = l.l_partkey
+     WHERE p.p_brand = 'Brand#11' AND l.l_quantity < t.qty_bar)
     """,
 )
-def q6_q14_scalar_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 + Q14 shapes, one driver entry (two former entries merged
-    in r4 to free a slot inside the driver's 50-query gate window — the
-    cross join of two 1-row aggregates keeps BOTH value checks). Q6 leg:
-    pure scan + conjunctive filter + scalar agg — the predicate-pushdown/
-    column-pruning showcase (explain shows PushedFilters on
-    shipdate/discount/quantity; ReadSchema is 4 columns, never the full
-    table). Q14 leg: promo revenue percentage — conditional-agg ratio over
-    one month; date range pushes to the scan, part broadcasts."""
+def q6_q14_q17_scalar_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 + Q14 + Q17 shapes, one driver entry (three former
+    entries merged — r4's slot-freeing pattern: the cross join of 1-row
+    aggregates keeps EVERY value check). Q6 leg: pure scan + conjunctive
+    filter + scalar agg — the predicate-pushdown/column-pruning showcase
+    (explain shows PushedFilters on shipdate/discount/quantity; ReadSchema
+    is 4 columns, never the full table). Q14 leg: promo revenue
+    percentage — conditional-agg ratio over one month; date range pushes
+    to the scan, part broadcasts. Q17 leg: correlated scalar subquery
+    (per-part average quantity) decorrelated to a self-agg + two
+    broadcast joins — lineitem is scanned twice but never shuffled."""
     l = t(spark, sf_dir, "lineitem")
     q6 = (
         l.filter(
@@ -2006,7 +2016,21 @@ def q6_q14_scalar_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
         ).alias("promo_pct")
     )
-    return q6.crossJoin(q14)
+    p17 = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    bars = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg(_dec("l_quantity"))).alias("qty_bar")
+    )
+    q17 = (
+        l.join(F.broadcast(p17), l.l_partkey == p17.p_partkey)
+        .join(F.broadcast(bars), l.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_bar"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6
+            ).alias("avg_yearly")
+        )
+    )
+    return q6.crossJoin(q14).crossJoin(q17)
 
 
 @register(
@@ -2517,39 +2541,133 @@ def q16_suppliers_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (q17_small_quantity_revenue merged into q6_q14_q17_scalar_metrics in
+# r4 — the 1-row cross-join pattern keeps its value check while freeing
+# the slot for redirect_resolution below.)
+
+
 @register(
-    "q17_small_quantity_revenue",
+    "redirect_resolution",
     oracle="""
-    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / 7.0, 6) AS avg_yearly
-    FROM lineitem l
-    JOIN (SELECT l_partkey, 0.2 * AVG(CAST(l_quantity AS DECIMAL(18,2))) AS qty_bar
-          FROM lineitem GROUP BY l_partkey) t
-      ON t.l_partkey = l.l_partkey
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand = 'Brand#11' AND l.l_quantity < t.qty_bar
+    WITH RECURSIVE chains AS (
+      SELECT doc_id,
+             unnest(range(0, doc_id % 4 + 1)) AS i,
+             doc_id % 4 AS l
+      FROM documents),
+    base AS (
+      SELECT 'http://site' || (doc_id % 7) || '.example.com/r/' || doc_id
+               || '/' AS stem,
+             doc_id, i, l
+      FROM chains
+      WHERE NOT (doc_id % 13 = 0 AND l >= 1 AND i = l)),
+    caps AS (
+      SELECT stem || i AS url,
+             CASE WHEN i < l THEN 301
+                  WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS status,
+             CASE WHEN i < l THEN stem || (i + 1) END AS target
+      FROM base
+      UNION ALL
+      SELECT 'http://site' || (doc_id % 7) || '.example.com/loop/'
+               || doc_id || '/' || x AS url,
+             301 AS status,
+             'http://site' || (doc_id % 7) || '.example.com/loop/'
+               || doc_id || '/' || (1 - x) AS target
+      FROM documents, (SELECT unnest([0, 1]) AS x)
+      WHERE doc_id % 17 = 0),
+    edges AS (SELECT url, target FROM caps WHERE target IS NOT NULL),
+    walk AS (
+      SELECT url AS src, url AS cur, 0 AS hops FROM caps
+      UNION ALL
+      SELECT w.src, e.target, w.hops + 1
+      FROM walk w JOIN edges e ON e.url = w.cur WHERE w.hops < 8),
+    fin AS (
+      SELECT w.src, w.cur, w.hops FROM walk w
+      JOIN (SELECT src, MAX(hops) AS mh FROM walk GROUP BY 1) m
+        ON m.src = w.src AND m.mh = w.hops)
+    SELECT f.src AS url,
+           f.cur AS final_url,
+           CAST(f.hops AS INT) AS hops,
+           CASE WHEN f.cur NOT IN (SELECT url FROM edges)
+                THEN t.status END AS final_status,
+           f.cur NOT IN (SELECT url FROM edges) AS resolved
+    FROM fin f LEFT JOIN caps t ON t.url = f.cur
+    ORDER BY url
     """,
 )
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: correlated scalar subquery (per-part average
-    quantity) decorrelated to a self-agg + join. The per-part averages are
-    a small table — broadcast back against lineitem, so lineitem is
-    scanned twice but never shuffled for a join."""
-    l = t(spark, sf_dir, "lineitem")
-    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
-    bars = (
-        l.groupBy(F.col("l_partkey").alias("_pk"))
-        .agg((F.lit(0.2) * F.avg(_dec("l_quantity"))).alias("qty_bar"))
+def redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.py) oracle-checked
+    end to end: per doc_id a 0-3-hop 301 chain is synthesized (terminal
+    200, or 404 for every 5th doc; the FIRST hop's Location is
+    root-relative so the JVM origin resolution is exercised), every 13th
+    doc's chain DANGLES (terminal never captured -> final_status null),
+    and every 17th doc adds a 2-url redirect LOOP (resolved=false, the
+    walk stops after max_hops=8). The engine runs the real K-join lazy
+    walk; the oracle replays the chains with a bounded recursive CTE and
+    the same terminal/loop labeling."""
+    from .operators.redirects import resolve_redirects
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    doc_s = F.col("doc_id").cast("string")
+    site = F.concat(
+        F.lit("http://site"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".example.com"),
     )
-    return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(bars), l.l_partkey == F.col("_pk"))
-        .filter(F.col("l_quantity") < F.col("qty_bar"))
-        .agg(
-            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6).alias(
-                "avg_yearly"
+    l_ = F.pmod(F.col("doc_id"), F.lit(4))
+    chain = (
+        d.select("doc_id", F.explode(F.sequence(F.lit(0).cast("long"), l_)).alias("i"))
+        .where(
+            ~(
+                (F.pmod(F.col("doc_id"), F.lit(13)) == 0)
+                & (l_ >= 1)
+                & (F.col("i") == l_)
             )
         )
+        .select(
+            F.concat(site, F.lit("/r/"), doc_s, F.lit("/"), F.col("i").cast("string")).alias("url"),
+            F.when(F.col("i") < l_, F.lit(301))
+            .otherwise(
+                F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit(404)).otherwise(
+                    F.lit(200)
+                )
+            )
+            .alias("http_status"),
+            F.when(
+                F.col("i") < l_,
+                F.when(
+                    F.col("i") == 0,
+                    # root-relative Location: the operator must resolve it
+                    # against the capture url's origin
+                    F.concat(F.lit("/r/"), doc_s, F.lit("/1")),
+                ).otherwise(
+                    F.concat(
+                        site, F.lit("/r/"), doc_s, F.lit("/"),
+                        (F.col("i") + 1).cast("string"),
+                    )
+                ),
+            ).alias("location"),
+        )
+    )
+    loops = (
+        d.where(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+        .select("doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("x"))
+        .select(
+            F.concat(site, F.lit("/loop/"), doc_s, F.lit("/"), F.col("x").cast("string")).alias("url"),
+            F.lit(301).alias("http_status"),
+            F.concat(
+                site, F.lit("/loop/"), doc_s, F.lit("/"),
+                (1 - F.col("x")).cast("string"),
+            ).alias("location"),
+        )
+    )
+    caps = chain.unionByName(loops)
+    return (
+        resolve_redirects(caps, max_hops=8)
+        .select(
+            "url", "final_url", F.col("hops").cast("int").alias("hops"),
+            "final_status", "resolved",
+        )
+        .orderBy("url")
     )
 
 
@@ -2803,7 +2921,8 @@ _CHANGED_FIRST = [
     "recrawl_priority_stats",
     "sitemap_parse_entries",
     "host_graph_pagerank",
-    "q6_q14_scalar_metrics",
+    "redirect_resolution",
+    "q6_q14_q17_scalar_metrics",
     "http_response_split_agg",
     "cdx_urlkey_agg",
     "media_decode_stats",
@@ -2819,7 +2938,6 @@ _CHANGED_FIRST = [
     "q8_market_share",
     "q19_disjunctive_revenue",
     "q16_suppliers_per_brand",
-    "q17_small_quantity_revenue",
     "q22_idle_customers",
 ]
 
