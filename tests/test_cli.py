@@ -107,6 +107,61 @@ def test_export_cdx(spark, cli_warc, tmp_path, capsys):
     assert len(keys) == 8 and all(k.startswith("example,cli)") for k in keys)
 
 
+def test_resolve_subcommand(spark, tmp_path, capsys):
+    """WARC with a 301 chain, a dangling redirect, and a 200 terminal ->
+    the resolve CLI's parquet mapping. The chain url also has an EARLIER
+    200 capture that the latest-capture reduction must discard."""
+
+    def rec(i, uri, payload, date):
+        return make_record(
+            payload=payload, warc_type="response",
+            headers=[("WARC-Target-URI", uri),
+                     ("Content-Type", "application/http; msgtype=response")],
+            record_id="00000000-0000-0000-0001-%012d" % i,
+            date=date,
+        ).to_bytes()
+
+    def http(status_line, extra=b"", body=b"x"):
+        return (
+            b"HTTP/1.1 " + status_line + b"\r\n" + extra
+            + b"Content-Length: %d\r\n\r\n%s" % (len(body), body)
+        )
+
+    records = [
+        # a: stale 200 at 00:00, then 301 -> b at 00:05 (latest wins)
+        rec(0, "http://r.example/a", http(b"200 OK"), "2026-08-02T00:00:00Z"),
+        rec(1, "http://r.example/a",
+            http(b"301 Moved", b"Location: http://r.example/b\r\n"),
+            "2026-08-02T00:05:00Z"),
+        # b: 302 with a root-relative Location -> /c
+        rec(2, "http://r.example/b",
+            http(b"302 Found", b"Location: /c\r\n"), "2026-08-02T00:06:00Z"),
+        rec(3, "http://r.example/c", http(b"200 OK"), "2026-08-02T00:07:00Z"),
+        # d: dangling redirect (target never captured)
+        rec(4, "http://r.example/d",
+            http(b"301 Moved", b"Location: http://r.example/missing\r\n"),
+            "2026-08-02T00:08:00Z"),
+    ]
+    d = tmp_path / "rwarc"
+    d.mkdir()
+    with open(str(d / "r.warc.gz"), "wb") as f:
+        f.write(compress_records_as_members(records))
+    out = str(tmp_path / "resolved")
+    res = _run(capsys, [
+        "resolve", "--warc", str(d / "*.warc.gz"), "--out", out,
+    ])
+    # redirected = a (2 hops), b (1 hop), d (1 hop)
+    assert res == {"urls": 4, "redirected": 3, "unresolved": 0,
+                   "dangling": 1, "out": out}
+    got = {r.url: r for r in spark.read.parquet(out).collect()}
+    a = got["http://r.example/a"]
+    assert (a.final_url, a.hops, a.final_status, a.resolved) == (
+        "http://r.example/c", 2, 200, True)
+    dd = got["http://r.example/d"]
+    assert (dd.final_url, dd.final_status, dd.resolved) == (
+        "http://r.example/missing", None, True)
+
+
 def test_graph_subcommand(spark, tmp_path, capsys):
     out = str(tmp_path / "hostgraph")
     edges_out = str(tmp_path / "hostedges")

@@ -175,6 +175,18 @@ def _build_parser() -> argparse.ArgumentParser:
     h.add_argument("--master", default=None)
     h.add_argument("--seed", type=int, default=42)
 
+    r = sub.add_parser(
+        "resolve",
+        help="redirect-chain resolution from a WARC set: url -> "
+             "final_url/hops/final_status with loop + dangling detection "
+             "-> parquet (dangling targets are frontier work; the mapping "
+             "is the canonical-url table dedup joins against)",
+    )
+    r.add_argument("--warc", required=True, help="WARC path/glob (*.warc[.gz])")
+    r.add_argument("--out", required=True, help="output parquet dir")
+    r.add_argument("--max-hops", type=int, default=8)
+    r.add_argument("--master", default=None)
+
     x = sub.add_parser(
         "index",
         help="offset index for WARC (gzip members) or ARC (records) -> "
@@ -323,6 +335,54 @@ def main(argv: list[str] | None = None) -> int:
                 .select("dst").distinct().count()
             )
         print(json.dumps(res))
+        spark.stop()
+        return 0
+    if args.cmd == "resolve":
+        from pyspark.sql import functions as F
+
+        from .operators.redirects import resolve_redirects
+        from .plans import get_spark
+        from .sources import read_warc
+        from .sources.warc_source import split_http_payload
+
+        spark = get_spark(app="warc_spark_resolve", master=args.master)
+        sp = split_http_payload(
+            read_warc(spark, args.warc).filter(
+                (F.col("warc_type") == "response")
+                & F.col("target_uri").isNotNull()
+            ),
+            drop_payload=True,
+        )
+        # one row per url: the LATEST capture's status + Location header
+        # (max_by on (date, record_id) — the same total order
+        # latest_captures uses; one url-keyed exchange)
+        caps = (
+            sp.groupBy(F.col("target_uri").alias("url"))
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("http_status"),
+                        F.col("http_headers").getItem("location").alias(
+                            "location"
+                        ),
+                    ),
+                    F.struct(F.col("warc_date"), F.col("record_id")),
+                ).alias("_c")
+            )
+            .select("url", "_c.http_status", "_c.location")
+        )
+        resolved = resolve_redirects(caps, max_hops=args.max_hops)
+        resolved.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        print(json.dumps({
+            "urls": out.count(),
+            "redirected": out.where("hops > 0").count(),
+            "unresolved": out.where("NOT resolved").count(),
+            "dangling": out.where(
+                "resolved AND hops > 0 AND final_status IS NULL"
+            ).count(),
+            "out": args.out,
+        }))
         spark.stop()
         return 0
     if args.cmd == "index":
