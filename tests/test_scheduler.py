@@ -65,6 +65,40 @@ def test_politeness_domain_level_budget(spark):
     assert got == {"farm.co.uk": 3, "example.org": 3}
 
 
+def test_merge_seed_tables(spark):
+    """Graph + recrawl + sitemap seed tables combine into one frontier
+    input: weights scale, duplicates max-merge, null (index) rows drop."""
+    import pytest as _pytest
+
+    from warc_spark.operators.priority import merge_seed_tables
+
+    graph = spark.createDataFrame(
+        [("u1", 1.0), ("u2", 0.5)], "url string, priority double"
+    )
+    recrawl = spark.createDataFrame(
+        [("u2", 1.0), ("u3", 0.8)], "url string, priority double"
+    )
+    sitemap = spark.createDataFrame(
+        [("u4", 0.9), ("idx.xml", None)], "url string, priority double"
+    )
+    got = {
+        r.url: r.priority
+        for r in merge_seed_tables(
+            [graph, recrawl, sitemap], weights=[1.0, 0.6, 0.3]
+        ).collect()
+    }
+    assert got == {
+        "u1": 1.0,            # graph only
+        "u2": 0.6,            # max(0.5*1.0, 1.0*0.6)
+        "u3": pytest.approx(0.48),
+        "u4": pytest.approx(0.27),
+    }
+    with _pytest.raises(ValueError):
+        merge_seed_tables([])
+    with _pytest.raises(ValueError):
+        merge_seed_tables([graph], weights=[1.0, 2.0])
+
+
 def test_robots_gate(spark, frontier):
     robots = spark.createDataFrame(
         [

@@ -58,3 +58,33 @@ def global_order_keys(
     return df.withColumn("batch", F.lit(batch)).withColumn(
         "rank_in_batch", F.row_number().over(w)
     )
+
+
+def merge_seed_tables(
+    seed_tables: list[DataFrame],
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Combine ``(url, priority)`` seed tables from different signals —
+    graph rank (``seeds_from_pagerank``), freshness (``recrawl_seeds``),
+    discovery (``seeds_from_sitemaps``) — into ONE frontier input: per-
+    table weights scale each source's [0, 1] priorities into a shared
+    scale, duplicates max-merge (a url wanted by any signal keeps its
+    strongest claim — the same rule synth_seeds applies). Null priorities
+    (sitemap-INDEX rows awaiting expansion) drop out. One slim
+    (url, priority) exchange."""
+    if not seed_tables:
+        raise ValueError("merge_seed_tables needs at least one table")
+    if weights is None:
+        weights = [1.0] * len(seed_tables)
+    if len(weights) != len(seed_tables):
+        raise ValueError("one weight per seed table")
+    scaled = [
+        t.where(F.col("priority").isNotNull()).select(
+            "url", (F.col("priority") * F.lit(w)).alias("priority")
+        )
+        for t, w in zip(seed_tables, weights)
+    ]
+    out = scaled[0]
+    for s in scaled[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("url").agg(F.max("priority").alias("priority"))
