@@ -227,6 +227,21 @@ class TestHits:
         with pytest.raises(ValueError):
             hits(None, iterations=0)
 
+    def test_persist_every_same_result(self, spark):
+        """The lazy per-interval localCheckpoint (plan-doubling cut) must
+        not change values. 3 iterations with a cut after the 2nd keeps the
+        uncut twin cheap (the uncut plan doubles per iteration — the very
+        blow-up persist_every exists for)."""
+        e = _edges(
+            spark,
+            [(f"h{i}", f"h{(i * 5 + 2) % 11}", float(1 + i % 3)) for i in range(30)],
+        )
+        a = {r.host: (round(r.hub, 9), round(r.authority, 9))
+             for r in hits(e, iterations=3, persist_every=0).collect()}
+        b = {r.host: (round(r.hub, 9), round(r.authority, 9))
+             for r in hits(e, iterations=3, persist_every=2).collect()}
+        assert a == b
+
 
 class TestConnectedComponents:
     def test_two_components_and_chain(self, spark):

@@ -33,6 +33,15 @@ class TestEdges:
             "http://h.example.org/f": "relative/path",
         }
 
+    def test_network_path_location_keeps_scheme(self, spark):
+        """'Location: //cdn.example.org/x' is a network-path reference:
+        it keeps the capture's scheme, NOT its origin."""
+        c = _caps(spark, [
+            ("https://h.example.org/a", 301, "//cdn.example.org/x"),
+        ])
+        [r] = redirect_edges(c).collect()
+        assert r.target == "https://cdn.example.org/x"
+
 
 class TestResolve:
     def test_chain_dangling_and_loop(self, spark):

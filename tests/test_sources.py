@@ -634,6 +634,10 @@ def test_parse_sitemap_entries_gzip(spark):
             (bytearray(gzip.compress(xml.encode())),),
             (bytearray(plain.encode()),),
             (bytearray(b"\x1f\x8b\x00truncated"),),  # lax: raw fallback
+            # valid 10-byte gzip header, corrupt DEFLATE body: raises
+            # zlib.error (not an OSError) — must also fall back, not
+            # kill the task
+            (bytearray(b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03garbage"),),
             (None,),
         ],
         "body binary",

@@ -82,6 +82,41 @@ def test_wat_envelope(spark, tmp_path):
             assert link["text"] == "l"
 
 
+def test_wat_html_metadata_declared_charset(spark):
+    """A windows-1251 page whose charset is declared ONLY in the HTTP
+    Content-Type header (no <meta charset>) must decode through the raw
+    header, not the params-stripped media type."""
+    from warc_spark.kernels.warcrec import make_record
+    from warc_spark.sources.wet import wat_records
+
+    title = "Привет мир"
+    body = ("<html><head><title>%s</title></head><body>x</body></html>" % title).encode(
+        "windows-1251"
+    )
+    payload = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=windows-1251\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(body) + body
+    )
+    rec = make_record(
+        payload=payload, warc_type="response",
+        headers=[("WARC-Target-URI", "http://cy.example/p"),
+                 ("Content-Type", "application/http; msgtype=response")],
+        record_id="00000000-0000-0000-0003-000000000000",
+        date="2026-08-02T00:00:00Z",
+    )
+    import pandas as pd
+
+    from warc_spark.sources import parse_warc_column
+
+    pages = spark.createDataFrame(
+        pd.DataFrame({"url": ["http://cy.example/p"],
+                      "html": [rec.to_bytes()]}))
+    recs = parse_warc_column(pages, "html", keep=[])
+    env = json.loads(bytes(wat_records(recs).collect()[0].payload).decode())
+    assert env["title"] == title
+
+
 def test_wat_html_metadata_gating(spark, tmp_path):
     """Non-HTML captures get null HTML-Metadata; with_html_metadata=False
     omits the keys entirely (and never decodes the body)."""

@@ -20,8 +20,13 @@ Plan shape for 100 TB
   dangling mass are 1-row aggregates crossJoined back (broadcast nested
   loop by construction), so the whole K-iteration recurrence is ONE lazy
   declarative plan with ZERO driver-side actions or collects.
-- For large K, pass ``persist_every`` to cut lineage (otherwise the plan
-  tree grows linearly in K; K<=10 is fine uncut).
+- The rank recurrences reference the previous iteration's frame TWICE
+  per round (flow + dangling for pagerank; raw-score + normalizer for
+  HITS), so the UNCUT logical plan doubles per iteration — the same
+  blow-up ``connected_components`` checkpoints against. ``persist_every``
+  (default 6) inserts a lazy ``localCheckpoint`` every few rounds:
+  planning happens at the cut (bounded subtrees), execution stays
+  deferred, and the whole recurrence remains action-free.
 """
 
 from __future__ import annotations
@@ -69,13 +74,9 @@ def _links_only_html_kernel(html, url):
     ``html_to_text`` is the expensive half of the combined kernel."""
     import pandas as pd
 
-    from ..kernels.htmlext import extract_links, redecode_html
+    from ..kernels.htmlext import extract_links, warc_record_bodies
 
-    s = html.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
-    body = [
-        redecode_html(b) if isinstance(b, str) else None
-        for b in s.str.split("\r\n\r\n", n=2).str[2]
-    ]
+    body = warc_record_bodies(html)
     return pd.Series(
         [
             extract_links(b, u) if b is not None else None
@@ -119,13 +120,9 @@ def _anchors_html_kernel(html, url):
     does the work)."""
     import pandas as pd
 
-    from ..kernels.htmlext import extract_link_anchors, redecode_html
+    from ..kernels.htmlext import extract_link_anchors, warc_record_bodies
 
-    s = html.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
-    body = [
-        redecode_html(b) if isinstance(b, str) else None
-        for b in s.str.split("\r\n\r\n", n=2).str[2]
-    ]
+    body = warc_record_bodies(html)
     return pd.Series(
         [
             [{"link": u, "anchor": a} for u, a in extract_link_anchors(b, p)]
@@ -189,7 +186,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
-    persist_every: int = 0,
+    persist_every: int = 6,
     cache_static: bool = True,
 ) -> DataFrame:
     """Weighted PageRank over a ``(src, dst, weight)`` edge table.
@@ -285,6 +282,7 @@ def hits(
     edges: DataFrame,
     iterations: int = 2,
     cache_static: bool = True,
+    persist_every: int = 4,
 ) -> DataFrame:
     """Weighted HITS (hubs & authorities, Kleinberg) over a
     ``(src, dst, weight)`` edge table — the complement to ``pagerank``
@@ -305,7 +303,10 @@ def hits(
     back as broadcasts, so the whole K-iteration recurrence stays ONE
     lazy plan with zero driver actions; score tables are (host string,
     double) — slim at any node count. Deterministic up to float-sum
-    ordering (round when comparing across engines)."""
+    ordering (round when comparing across engines). Like ``pagerank``,
+    each half-step references its input frame twice (raw scores +
+    normalizer), so ``persist_every`` cuts the otherwise-doubling plan
+    with a lazy per-interval ``localCheckpoint``."""
     if iterations < 1:
         raise ValueError("hits() needs at least one iteration")
     if cache_static:
@@ -320,7 +321,7 @@ def hits(
 
     hub = nodes.select("host", F.lit(1.0).alias("hub"))
     auth = None
-    for _ in range(iterations):
+    for k in range(iterations):
         a_raw = (
             edges.join(hub, edges.src == hub.host)
             .select(F.col("dst").alias("host"), (F.col("weight") * F.col("hub")).alias("c"))
@@ -351,6 +352,9 @@ def hits(
                 (F.coalesce(F.col("hh"), F.lit(0.0)) / F.col("h_sum")).alias("hub"),
             )
         )
+        if persist_every and (k + 1) % persist_every == 0 and k + 1 < iterations:
+            hub = hub.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
     return hub.join(auth, "host")
 
 

@@ -76,6 +76,22 @@ _A_RE = re.compile(r"<(?:a|area)\b[^>]*?" + _HREF_VAL, re.I | re.S)
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
 
 
+def warc_record_bodies(html) -> list[str | None]:
+    """Shared framing step for every kernel that takes a binary column of
+    FULL serialized WARC response records (pd.Series in, list out): latin-1
+    mirror decode, split off WARC headers + HTTP headers at the two
+    ``\\r\\n\\r\\n`` boundaries, normalize the float-NaN that pandas yields
+    for records MISSING the framing (truncated/non-HTTP captures) to None
+    so one bad record can't fail the task (ADVICE r3, high), then
+    charset-fix the body via ``redecode_html``. One definition — the three
+    former per-kernel copies diverging was itself a review finding."""
+    s = html.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
+    return [
+        redecode_html(b) if isinstance(b, str) else None
+        for b in s.str.split("\r\n\r\n", n=2).str[2]
+    ]
+
+
 def redecode_utf8(s: str | None) -> str | None:
     """Charset fix-up for the byte-preserving ingest path: WARC payload
     bytes reach the kernels as a latin-1 decode (bijective bytes<->chars,

@@ -15,9 +15,10 @@ Plan shape for 100 TB
 ---------------------
 - ``redirect_edges`` is a map-side projection + filter of the capture
   table: only (url, target) string pairs survive. Location resolution is
-  pure JVM expressions (absolute and root-relative Location values — the
-  RFC 9110 common cases; schemeless/path-relative Locations are rare on
-  real captures and pass through unresolved, landing as ``dangling``).
+  pure JVM expressions (absolute, network-path ``//host/..``, and root-relative Location
+  values — the RFC 9110/3986 common cases; path-relative Locations are
+  rare on real captures and pass through unresolved, landing as
+  ``dangling``).
 - ``resolve_redirects`` advances every url ``max_hops`` times through
   ONE lazy plan of K url-keyed joins against the slim edge table (AQE
   broadcasts it when it fits — redirect captures are a small fraction of
@@ -44,13 +45,19 @@ def redirect_edges(
     location_col: str = "location",
 ) -> DataFrame:
     """``(url, target)`` — one row per captured 3xx with a Location.
-    Absolute Locations pass through; root-relative ones resolve against
-    the capture url's origin. Map-only; only the two url strings
+    Absolute Locations pass through; network-path ``//host/..`` ones keep
+    the capture url's scheme; root-relative ones resolve against its
+    origin. Map-only; only the two url strings
     survive."""
     loc = F.col(location_col)
     origin = F.regexp_extract(F.col(url_col), _ORIGIN_RE, 1)
+    scheme = F.regexp_extract(F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.\-]*):", 1)
     target = (
         F.when(loc.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"), loc)
+        .when(  # network-path reference (//host/path): keep the scheme
+            loc.startswith("//") & (scheme != ""),
+            F.concat(scheme, F.lit(":"), loc),
+        )
         .when(loc.startswith("/") & (origin != ""), F.concat(origin, loc))
         .otherwise(loc)
     )

@@ -285,16 +285,9 @@ def extract_page_html_kernel(html: pd.Series, url: pd.Series) -> pd.DataFrame:
     ``<base>``). Same one-Arrow-pass contract as extract_page_kernel —
     the binary column crosses the boundary once. Null html (fetch miss)
     yields null links/text."""
-    from ..kernels.htmlext import extract_links, html_to_text, redecode_html
+    from ..kernels.htmlext import extract_links, html_to_text, warc_record_bodies
 
-    s = html.map(lambda b: bytes(b).decode("latin-1") if b is not None else None)
-    # .str[2] yields float NaN for records missing the \r\n\r\n framing
-    # (truncated/non-HTTP captures) — normalize to None so one bad record
-    # can't fail the task (ADVICE r3, high)
-    body = [
-        redecode_html(b) if isinstance(b, str) else None
-        for b in s.str.split("\r\n\r\n", n=2).str[2]
-    ]
+    body = warc_record_bodies(html)
     links = [
         extract_links(b, u) if b is not None else None
         for b, u in zip(body, url)
@@ -492,6 +485,7 @@ def _gunzip_text_kernel(col: pd.Series) -> pd.Series:
     as .xml.gz), then utf-8 with a latin-1 fallback. Truncated/corrupt
     gzip falls back to the raw bytes (lax, like the record scanners)."""
     import gzip
+    import zlib
 
     out = []
     for b in col:
@@ -502,7 +496,9 @@ def _gunzip_text_kernel(col: pd.Series) -> pd.Series:
         if b[:2] == b"\x1f\x8b":
             try:
                 b = gzip.decompress(b)
-            except (OSError, EOFError):
+            # zlib.error is NOT an OSError: a valid gzip header with a
+            # corrupt deflate body raises it and would kill the task
+            except (OSError, EOFError, zlib.error):
                 pass
         try:
             out.append(b.decode("utf-8"))
