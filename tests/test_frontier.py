@@ -311,6 +311,54 @@ class TestDistributedProbe:
             assert [m["snapshot"] for m in m2] == [2, 3]
             assert collect_batches(store, spark, 4) == ref
 
+    def test_cuckoo_resume_legacy_scheme_rebuilds(
+        self, spark, pages_df, seeds_df, tmp_path
+    ):
+        """A checkpoint whose manifest lacks the cuckoo hash-scheme stamp
+        (legacy / pre-change) must NOT load the stored cuckoo_state blobs —
+        they were built under a different bucket derivation and would probe
+        the wrong buckets (ADVICE r4: silent false negatives). Simulated by
+        stripping the stamp AND replacing the stored blobs with garbage: a
+        resume that wrongly loaded them would re-crawl seen urls."""
+        import json
+        import os
+        import shutil
+
+        from warc_spark.operators.seen import CuckooSeenSet
+
+        cfg = dict(default_budget=4, seen_backend="cuckoo",
+                   bloom_buckets=8, bloom_bits=1 << 12)
+        ref_store, _ = run_engine(
+            spark, pages_df, seeds_df, tmp_path / "ref",
+            FrontierConfig(max_batches=4, **cfg),
+        )
+        ref = collect_batches(ref_store, spark, 4)
+        store, _ = run_engine(
+            spark, pages_df, seeds_df, tmp_path / "legacy",
+            FrontierConfig(max_batches=2, **cfg),
+        )
+        for k in (0, 1):
+            p = store._snap_path(k)
+            with open(p) as f:
+                m = json.load(f)
+            m["config"].pop("cuckoo_hash_scheme")
+            with open(p, "w") as f:
+                json.dump(m, f)
+        # garbage state: blobs that know only an unrelated url — if loaded,
+        # every actually-seen url reads as unseen and gets re-scheduled
+        state_dir = os.path.join(store.batch_dir(1), "cuckoo_state")
+        garbage = CuckooSeenSet(n_buckets=8).build_blobs(
+            spark.createDataFrame([("http://nowhere.invalid/x",)], "url string")
+        )
+        shutil.rmtree(state_dir)
+        garbage.write.parquet(state_dir)
+        eng = FrontierEngine(
+            spark, pages_df, store, config=FrontierConfig(max_batches=4, **cfg)
+        )
+        m2 = eng.run(seeds_df, resume=True)
+        assert [m["snapshot"] for m in m2] == [2, 3]
+        assert collect_batches(store, spark, 4) == ref
+
     def test_resume_rejects_mismatched_geometry(self, spark, pages_df, seeds_df, tmp_path):
         store, _ = run_engine(
             spark, pages_df, seeds_df, tmp_path,

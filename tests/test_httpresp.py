@@ -290,6 +290,27 @@ class TestBodyDecode:
         ) + b"\r\n0\r\n\r\n"
         assert decode_body(both, "chunked", "gzip") == (raw, True)
 
+    def test_decode_body_multi_layer_ce(self):
+        """Every comma-separated coding is reversed right-to-left (ADVICE
+        r4): a trailing identity is a no-op layer, double-gzip gunzips
+        twice, and an unreversible OUTER coding stops the walk with
+        applied=False even when an inner coding is decodable."""
+        import gzip
+
+        from warc_spark.kernels.httpresp import decode_body
+
+        raw = b"the decoded content"
+        gz = gzip.compress(raw, mtime=0)
+        assert decode_body(gz, None, "gzip, identity") == (raw, True)
+        assert decode_body(gz, None, "identity, gzip") == (raw, True)
+        assert decode_body(gzip.compress(gz, mtime=0), None, "gzip, gzip") == (raw, True)
+        assert decode_body(gzip.compress(gz, mtime=0), None, "gzip , x-gzip") == (raw, True)
+        # outer br undecodable: bytes untouched, False — never feed the
+        # inner gzip decoder bytes still wrapped in br
+        assert decode_body(gz, None, "gzip, br") == (gz, False)
+        # inner br under a decodable outer gzip: outer reversed, then stop
+        assert decode_body(gzip.compress(raw, mtime=0), None, "br, gzip") == (raw, False)
+
     def test_decode_body_lenient_on_lies(self):
         from warc_spark.kernels.httpresp import decode_body
 

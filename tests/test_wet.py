@@ -54,6 +54,36 @@ def test_wet_ids_deterministic_across_parallelism(spark):
     assert ida == idb and len(set(ida)) == 50
 
 
+def test_wet_same_second_revisits_get_distinct_ids(spark):
+    """Two captures of one URI in the same second (revisit/duplicate —
+    common in real crawls) must not share a WARC-Record-ID (ADVICE r4):
+    the id salts in the payload digest."""
+    rows = [
+        ("http://h.example.org/p", "2024-01-01 00:00:00", "first capture"),
+        ("http://h.example.org/p", "2024-01-01 00:00:00", "second capture"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, ts string, text string").select(
+        "url", F.col("ts").cast("timestamp").alias("warc_ts"), "text"
+    )
+    ids = [r.headers["warc-record-id"] for r in wet_records(pages).collect()]
+    assert len(ids) == 2 and ids[0] != ids[1]
+
+
+def test_wat_same_second_revisits_get_distinct_ids(spark):
+    """WAT metadata ids salt in the SOURCE record's id, which is unique
+    by construction — same-second revisits of one URI stay distinct."""
+    pages = synth_pages(spark, 6, seed=5, n_hosts=2)
+    # force every capture onto one uri + one timestamp
+    recs = parse_warc_column(pages, "html", keep=[]).withColumn(
+        "target_uri", F.lit("http://h.example.org/same")
+    ).withColumn("warc_date", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    ids = [
+        r.headers["warc-record-id"]
+        for r in wat_records(recs, with_html_metadata=False).collect()
+    ]
+    assert len(ids) == 6 and len(set(ids)) == 6
+
+
 def test_wat_envelope(spark, tmp_path):
     pages = synth_pages(spark, 30, seed=7, n_hosts=3)
     recs = parse_warc_column(pages, "html", keep=[])

@@ -161,26 +161,34 @@ def decode_body(body: bytes | None, te: str | None, ce: str | None) -> tuple[byt
         except ValueError:
             return body, False
     if ce:
-        coding = ce.split(",")[-1].strip().lower()  # last-applied coding first
-        if coding in ("gzip", "x-gzip"):
-            import gzip as _gzip
+        # reverse EVERY declared coding, right-to-left (last-applied layer
+        # is outermost on the wire, RFC 9110 §8.4): 'gzip, identity' must
+        # still gunzip, 'gzip, gzip' must gunzip twice. Stop (and report
+        # False) at the first layer that cannot be reversed — inner layers
+        # under an undecoded outer one are unreachable by definition.
+        for coding in (c.strip().lower() for c in reversed(ce.split(","))):
+            if coding in ("", "identity"):
+                continue  # no-op layer
+            if coding in ("gzip", "x-gzip"):
+                import gzip as _gzip
 
-            try:
-                body = _gzip.decompress(bytes(body))
-            except Exception:
-                return body, False
-        elif coding == "deflate":
-            import zlib as _zlib
-
-            try:
-                body = _zlib.decompress(bytes(body))
-            except Exception:
-                try:  # raw-deflate servers (the classic IE-era quirk)
-                    body = _zlib.decompress(bytes(body), -15)
+                try:
+                    body = _gzip.decompress(bytes(body))
                 except Exception:
                     return body, False
-        elif coding not in ("", "identity"):
-            applied = False  # br/zstd etc.: no lib here; bytes untouched
+            elif coding == "deflate":
+                import zlib as _zlib
+
+                try:
+                    body = _zlib.decompress(bytes(body))
+                except Exception:
+                    try:  # raw-deflate servers (the classic IE-era quirk)
+                        body = _zlib.decompress(bytes(body), -15)
+                    except Exception:
+                        return body, False
+            else:
+                applied = False  # br/zstd etc.: no lib here; bytes untouched
+                break
     return body, applied
 
 

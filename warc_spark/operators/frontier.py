@@ -286,7 +286,16 @@ class FrontierEngine:
             import os as _os
 
             state_path = _os.path.join(self.store.batch_dir(last), "cuckoo_state")
-            if _os.path.exists(state_path):
+            stored_scheme = self.store.manifest(last).get("config", {}).get(
+                "cuckoo_hash_scheme"
+            )
+            if stored_scheme != self.cuckoo.HASH_SCHEME:
+                # blobs written under a different bucket derivation:
+                # deleting through the current scheme would corrupt live
+                # entries. Leave the file; a resume rebuilds the blobs from
+                # the (already-expired) seen log on the same mismatch.
+                pass
+            elif _os.path.exists(state_path):
                 state = self.spark.read.parquet(state_path)
                 updated = self.cuckoo.delete_urls(state, urls)
                 # write-then-replace through a sibling dir (write_df would
@@ -328,9 +337,18 @@ class FrontierEngine:
                             f"{key}={stored.get(key)} but this engine uses "
                             f"{getattr(cfg, key)}"
                         )
-                self._blobs_state = self.store.read_df(
-                    self.spark, last, "cuckoo_state"
-                ).persist()
+                if stored.get("cuckoo_hash_scheme") == self.cuckoo.HASH_SCHEME:
+                    self._blobs_state = self.store.read_df(
+                        self.spark, last, "cuckoo_state"
+                    ).persist()
+                else:
+                    # bucket derivation changed since (or manifest predates
+                    # the stamp): the stored blobs probe the wrong buckets
+                    # under the current scheme — rebuild from the exact
+                    # seen log instead (ADVICE r4)
+                    self._blobs_state = self.cuckoo.build_blobs(
+                        self.store.read_seen_urls(self.spark, last)
+                    ).persist()
             else:
                 self._blobs_state = self.cuckoo.build_blobs(
                     self.store.read_seen_urls(self.spark, last)
@@ -652,7 +670,12 @@ class FrontierEngine:
         fetched.unpersist()
         if probed is not None:
             probed.unpersist()
-        self.store.commit(batch, tables, metrics, self.cfg.asdict())
+        config = self.cfg.asdict()
+        # stamp the cuckoo bucket-derivation version so a resume against a
+        # checkpoint written by an older scheme rebuilds instead of probing
+        # the wrong buckets (ADVICE r4: silent false negatives otherwise)
+        config["cuckoo_hash_scheme"] = self.cuckoo.HASH_SCHEME
+        self.store.commit(batch, tables, metrics, config)
         if cfg.seen_compact_every and (batch + 1) % cfg.seen_compact_every == 0:
             self.store.compact_seen(self.spark, batch)
         return self.store.manifest(batch), blob_map

@@ -315,6 +315,15 @@ class CuckooSeenSet:
     at most ``max_kicks`` times per item (batch-level Python, not per-row
     Spark)."""
 
+    # bucket-derivation versioning (ADVICE r4): checkpointed cuckoo_state
+    # blobs are only probe-compatible with the scheme that wrote them.
+    # Bump whenever _hash_fp_idx changes how fp/idx derive from the url;
+    # the frontier stamps this into every batch manifest and rebuilds the
+    # blobs from the seen log on mismatch (or absence = pre-stamp legacy).
+    # "keyhigh-v2": fp = low 16 bits, idx = high bits, of ONE KEY_1 hash
+    # (r4 single-pass derivation; v1 used an independent KEY_2 hash for idx).
+    HASH_SCHEME = "keyhigh-v2"
+
     def __init__(
         self,
         n_buckets: int = 64,

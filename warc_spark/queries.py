@@ -2283,7 +2283,9 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT lang, lower(
-        'https://WWW.' || source || '-' || lang || '.Example.COM'
+        'https://'
+        || CASE WHEN doc_id % 5 = 0 THEN 'User:Pa55w@' ELSE '' END
+        || 'WWW.' || source || '-' || lang || '.Example.COM'
         || CASE WHEN doc_id % 4 = 2 THEN ':8080'
                 WHEN doc_id % 4 = 3 THEN ':443' ELSE '' END
         || '/Docs/' || doc_id
@@ -2291,16 +2293,18 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN doc_id % 4 = 2 THEN '/'
                 WHEN doc_id % 4 = 3 THEN '#frag' ELSE '' END) AS lu
       FROM documents),
+    h AS (
+      SELECT lang, lu,
+        regexp_replace(regexp_extract(lu, '//([^/?#]+)', 1),
+                       '^[^@]*@', '') AS hp
+      FROM u),
     k AS (
       SELECT lang,
         array_to_string(list_reverse(string_split(
-            regexp_replace(regexp_extract(
-                regexp_extract(lu, '//([^/?#]+)', 1), '^([^:]+)', 1),
+            regexp_replace(regexp_extract(hp, '^([^:]+)', 1),
               '^www\\.', ''), '.')), ',')
-        || CASE WHEN regexp_extract(regexp_extract(lu, '//([^/?#]+)', 1),
-                                    ':([0-9]+)$', 1) IN ('', '80', '443')
-                THEN '' ELSE ':' || regexp_extract(
-                    regexp_extract(lu, '//([^/?#]+)', 1), ':([0-9]+)$', 1) END
+        || CASE WHEN regexp_extract(hp, ':([0-9]+)$', 1) IN ('', '80', '443')
+                THEN '' ELSE ':' || regexp_extract(hp, ':([0-9]+)$', 1) END
         || ')'
         || CASE WHEN regexp_extract(lu, '^[a-z][a-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) = ''
                 THEN '/'
@@ -2310,7 +2314,7 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE '?' || array_to_string(list_sort(string_split(
                     regexp_extract(lu, '\\?([^#]*)', 1), '&')), '&') END
         AS urlkey
-      FROM u)
+      FROM h)
     SELECT lang, COUNT(*) AS n_urls,
            COUNT(DISTINCT urlkey) AS n_keys,
            MIN(urlkey) AS min_key, MAX(urlkey) AS max_key,
@@ -2321,7 +2325,8 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdx_urlkey_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURT urlkey canonicalization (sources/cdx.py) oracle-checked on
     closed-form urls built from the documents table: mixed case, a
-    ``www.`` prefix to strip, default (:443) and non-default (:8080)
+    ``www.`` prefix to strip, userinfo (``User:Pa55w@``) to strip,
+    default (:443) and non-default (:8080)
     ports, unsorted query params, a trailing slash, and a fragment —
     every CDX rule exercised, and DuckDB must reproduce each derived key
     exactly (min/max/length aggregates over the full key strings). The
@@ -2332,7 +2337,9 @@ def cdx_urlkey_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     b = F.col("doc_id") % 4
     url = F.concat(
-        F.lit("https://WWW."), F.col("source"), F.lit("-"), F.col("lang"),
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("User:Pa55w@")).otherwise(F.lit("")),
+        F.lit("WWW."), F.col("source"), F.lit("-"), F.col("lang"),
         F.lit(".Example.COM"),
         F.when(b == 2, F.lit(":8080")).when(b == 3, F.lit(":443")).otherwise(F.lit("")),
         F.lit("/Docs/"), F.col("doc_id"),

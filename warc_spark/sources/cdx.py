@@ -14,7 +14,8 @@ DETERMINISTIC SUBSET of wayback's, chosen to be replayable both as Spark
 built-ins (codegen, no UDF) and as an ANSI-SQL oracle:
 
 1. lowercase the whole url;
-2. host = authority minus port; a leading ``www.`` is stripped;
+2. host = authority minus userinfo (``user:pass@``) and port; a leading
+   ``www.`` is stripped;
 3. host labels reversed and comma-joined (``com,example``); a non-default
    port (not 80/443) is kept as ``:port``;
 4. ``)`` separator, then the path — empty path becomes ``/``, a trailing
@@ -49,6 +50,9 @@ def surt_key(url: Column) -> Column:
     built-ins — stays inside whole-stage codegen."""
     u = F.lower(url)
     hostport = F.regexp_extract(u, r"//([^/?#]+)", 1)
+    # strip userinfo (user:pass@host) — otherwise the host extract below
+    # reads 'user' and the urlkey is garbage (ADVICE r4)
+    hostport = F.regexp_replace(hostport, r"^[^@]*@", "")
     host = F.regexp_extract(hostport, r"^([^:]+)", 1)
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
     host = F.regexp_replace(host, r"^www\.", "")
@@ -130,11 +134,24 @@ def cdx_records(records: DataFrame, filename: str | Column = "filename") -> Data
 
 def cdx_lines(cdx: DataFrame) -> DataFrame:
     """Typed CDX rows -> the classic space-separated 11-field line (plus
-    the sort key columns, so writers can order without re-deriving)."""
+    the sort key columns, so writers can order without re-deriving).
+
+    Every field is coalesced to ``-`` first: concat_ws SKIPS nulls, so a
+    null timestamp (possible under the lax scanner) would otherwise emit a
+    10-field line that silently shifts every later column (ADVICE r4).
+    Spaces inside url-carrying fields (original, redirect) are
+    percent-escaped, the standard CDX writer behavior, so the line stays
+    a split-safe 11-field layout."""
+    url_fields = {"urlkey", "original", "redirect"}
+
+    def field(name: str) -> Column:
+        c = F.coalesce(F.col(name), F.lit("-"))
+        return F.regexp_replace(c, " ", "%20") if name in url_fields else c
+
     return cdx.select(
-        "urlkey",
-        "timestamp",
-        F.concat_ws(" ", *CDX_FIELDS).alias("line"),
+        field("urlkey").alias("urlkey"),
+        F.coalesce(F.col("timestamp"), F.lit("-")).alias("timestamp"),
+        F.concat_ws(" ", *[field(n).alias(n) for n in CDX_FIELDS]).alias("line"),
     )
 
 

@@ -44,17 +44,23 @@ def _date_str(ts: Column) -> Column:
     return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
 
 
-def _sink_rows(wtype: str, uri: Column, date: Column, ctype: str, payload: Column, extra: list[tuple[str, Column]] = ()) -> list[Column]:
+def _sink_rows(wtype: str, uri: Column, date: Column, ctype: str, payload: Column, extra: list[tuple[str, Column]] = (), id_salt: Column | None = None) -> list[Column]:
     """(header_names, headers, payload) columns for the write_warc sink:
-    names carry wire spellings/order, the map is keyed lowercase."""
+    names carry wire spellings/order, the map is keyed lowercase.
+
+    ``id_salt`` mixes a per-record distinguisher into the record id:
+    (type, uri, date) alone collides for two captures of the same URI in
+    the same second — common with revisits/duplicates in real crawls —
+    violating WARC's record-id uniqueness requirement (ADVICE r4)."""
     names = (
         ["WARC-Type", "WARC-Record-ID", "WARC-Date", "WARC-Target-URI"]
         + [n for n, _ in extra]
         + ["Content-Type", "Content-Length"]
     )
+    id_cols = [F.lit(wtype), uri, date] + ([id_salt] if id_salt is not None else [])
     vals: list[tuple[str, Column]] = [
         ("WARC-Type", F.lit(wtype)),
-        ("WARC-Record-ID", _uuid_of(F.lit(wtype), uri, date)),
+        ("WARC-Record-ID", _uuid_of(*id_cols)),
         ("WARC-Date", date),
         ("WARC-Target-URI", uri),
         *extra,
@@ -85,6 +91,10 @@ def wet_records(pages: DataFrame) -> DataFrame:
             _date_str(F.col("warc_ts")),
             "text/plain",
             payload,
+            # salt with the payload digest: same-second revisits of a URI
+            # get distinct ids whenever their text differs (byte-identical
+            # same-second duplicates are true duplicates — dedup upstream)
+            id_salt=F.md5(payload),
         )
     )
 
@@ -203,6 +213,9 @@ def wat_records(records: DataFrame, with_html_metadata: bool = True) -> DataFram
             "application/json",
             F.encode(env, "UTF-8"),
             extra,
+            # the source record's id is unique by construction — two
+            # same-second captures of one URI yield distinct WAT ids
+            id_salt=F.col("record_id"),
         )
     )
 
