@@ -24,13 +24,45 @@ class TestEdges:
             ("http://h.example.org/c", 200, "http://ignored/"),  # not a 3xx
             ("http://h.example.org/d", 307, None),            # no Location
             ("http://h.example.org/e", 308, ""),              # empty Location
-            ("http://h.example.org/f", 303, "relative/path"), # passes through
+            ("http://h.example.org/f", 303, "relative/path"), # merge-path
         ])
         got = {r.url: r.target for r in redirect_edges(c).collect()}
         assert got == {
             "http://h.example.org/a": "http://x.example.org/t",
             "http://h.example.org/b": "http://h.example.org/rooted",
-            "http://h.example.org/f": "relative/path",
+            "http://h.example.org/f": "http://h.example.org/relative/path",
+        }
+
+    def test_path_relative_locations(self, spark):
+        """RFC 3986 §5.3 merge-path + §5.2.4 dot-segment removal for
+        path-relative Locations (VERDICT r4 #3 — 'Location: next.html' is
+        common on real captures)."""
+        c = _caps(spark, [
+            ("http://h.example.org/dir/page.html", 301, "next.html"),
+            ("http://h.example.org/dir/sub/p", 301, "../up.html"),
+            ("http://h.example.org/a/b/c", 301, "../../z"),
+            ("http://h.example.org/d/e", 301, "./same.html"),
+            ("http://h.example.org/q/r", 301, "x/./y/../z.html"),
+            ("http://h.example.org", 301, "bare.html"),       # empty base path
+            ("http://h.example.org/p", 301, "../above.html"), # pop past root
+            ("http://h.example.org/f/g?k=1", 301, "n.html?q=/a/../b"),  # query untouched
+            ("http://h.example.org/x/", 301, ".."),           # trailing ..
+            ("http://h.example.org/s/t", 301, "?page=2"),     # query-only ref
+            ("http://h.example.org/dot/u", 301, "/a/../rooted.html"),  # root-rel with dots
+        ])
+        got = {r.url: r.target for r in redirect_edges(c).collect()}
+        assert got == {
+            "http://h.example.org/dir/page.html": "http://h.example.org/dir/next.html",
+            "http://h.example.org/dir/sub/p": "http://h.example.org/dir/up.html",
+            "http://h.example.org/a/b/c": "http://h.example.org/z",
+            "http://h.example.org/d/e": "http://h.example.org/d/same.html",
+            "http://h.example.org/q/r": "http://h.example.org/q/x/z.html",
+            "http://h.example.org": "http://h.example.org/bare.html",
+            "http://h.example.org/p": "http://h.example.org/above.html",
+            "http://h.example.org/f/g?k=1": "http://h.example.org/f/n.html?q=/a/../b",
+            "http://h.example.org/x/": "http://h.example.org/",
+            "http://h.example.org/s/t": "http://h.example.org/s/t?page=2",
+            "http://h.example.org/dot/u": "http://h.example.org/rooted.html",
         }
 
     def test_network_path_location_keeps_scheme(self, spark):

@@ -2604,8 +2604,11 @@ def q16_suppliers_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 def redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (operators/redirects.py) oracle-checked
     end to end: per doc_id a 0-3-hop 301 chain is synthesized (terminal
-    200, or 404 for every 5th doc; the FIRST hop's Location is
-    root-relative so the JVM origin resolution is exercised), every 13th
+    200, or 404 for every 5th doc; hop 0's Location is root-relative,
+    hop 1's is PATH-relative ('2'), hop 2's is path-relative WITH dot
+    segments ('../<doc>/./3') — origin resolution, §5.3 merge-path, and
+    §5.2.4 dot removal all exercised against the closed-form absolute
+    targets the oracle synthesizes directly), every 13th
     doc's chain DANGLES (terminal never captured -> final_status null),
     and every 17th doc adds a 2-url redirect LOOP (resolved=false, the
     walk stops after max_hops=8). The engine runs the real K-join lazy
@@ -2646,11 +2649,18 @@ def redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # root-relative Location: the operator must resolve it
                     # against the capture url's origin
                     F.concat(F.lit("/r/"), doc_s, F.lit("/1")),
-                ).otherwise(
-                    F.concat(
-                        site, F.lit("/r/"), doc_s, F.lit("/"),
-                        (F.col("i") + 1).cast("string"),
-                    )
+                )
+                .when(
+                    # path-relative Location (RFC 3986 §5.3 merge against
+                    # the capture url .../r/<doc>/1): plain segment
+                    F.col("i") == 1,
+                    F.lit("2"),
+                )
+                .otherwise(
+                    # path-relative with dot segments (§5.2.4): from
+                    # .../r/<doc>/2, '../<doc>/./3' resolves to
+                    # .../r/<doc>/3
+                    F.concat(F.lit("../"), doc_s, F.lit("/./3")),
                 ),
             ).alias("location"),
         )
