@@ -23,8 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     Path: documents + lineitem-style relational agg is covered by queries();
     the flagship exercises the engine's reason-to-exist: synthesize
-    Common-Crawl-style pages, parse the WARC bytes with the vectorized
-    kernel, verify text byte-identity, aggregate per host/lang.
+    Common-Crawl-style WARC records closed-form from the documents table,
+    parse the bytes with the vectorized kernel, verify text byte-identity,
+    aggregate per source/lang (oracle-checked end to end since r5).
     """
     from warc_spark.plans.session import _ship_package
     from warc_spark.queries import queries as _q

@@ -1628,20 +1628,90 @@ def http_response_split_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("warc_parse_agg")
+@register(
+    "warc_parse_agg",
+    oracle="""
+    WITH r AS (
+      SELECT d.source, d.lang, d.text, d.doc_id, x.rep
+      FROM documents d, (SELECT unnest(range(4)) AS rep) x),
+    u AS (
+      SELECT source, lang,
+        '<html><head><title>page</title></head><body><p>' || text
+          || '</p><ul></ul></body></html>' AS body
+      FROM r),
+    p AS (
+      SELECT source, lang,
+        'HTTP/1.1 200 OK' || e'\r\n'
+          || 'Content-Type: text/html' || e'\r\n'
+          || 'Content-Length: ' || length(body) || e'\r\n\r\n' || body AS http
+      FROM u)
+    SELECT source, lang,
+           COUNT(*) AS n_pages,
+           COUNT(*) AS n_verified,
+           CAST(SUM(length(http)) AS BIGINT) AS payload_bytes
+    FROM p GROUP BY source, lang ORDER BY source, lang
+    """,
+)
 def warc_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship ingest path (M1 slice, SURVEY §7): synth Common-Crawl-style
-    pages -> vectorized WARC parse -> *byte-identical extracted text per
-    url* verification (the BASELINE.json per-row invariant) -> per-host/lang
-    agg. n_verified must equal n_pages on every row."""
+    """Flagship ingest path (M1 slice, SURVEY §7): Common-Crawl-style WARC
+    response records -> vectorized WARC parse -> *byte-identical extracted
+    text per url* verification (the BASELINE.json per-row invariant) ->
+    per-source/lang agg. n_verified must equal n_pages on every row.
+
+    r5 (VERDICT r4 #4): the records are now synthesized closed-form FROM
+    the documents parquet (4 records per doc; all-ASCII text, so char
+    length == byte length), which makes the whole result SQL-expressible:
+    the DuckDB oracle independently predicts n_pages, the total payload
+    bytes (it rebuilds the exact HTTP message strings), and n_verified ==
+    n_pages — any framing, parse, or extraction defect breaks the hash
+    match instead of only the in-query self-check. Record framing matches
+    sources/pages.gen_pages_pdf; at sf0.1 this is the same 20k-record
+    parse workload the r3/r4 bench legs measured."""
     from pyspark.sql.types import StringType
 
     from .sources.pages import extract_text_from_payload_kernel
 
     extract_udf = F.pandas_udf(extract_text_from_payload_kernel, StringType())
-    pages = synth_pages(spark, 20_000, seed=42)
-    parsed = parse_warc_column(pages, "html", keep=["url", "lang", "text"])
-    host = F.regexp_extract(F.col("url"), r"//([^/]+)/", 1)
+    d = t(spark, sf_dir, "documents")
+    rows = d.select(
+        "doc_id", "text", "lang", "source",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(3).cast("long"))).alias("rep"),
+    )
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit("-"), F.col("lang"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        F.lit("/"), F.col("rep").cast("string"),
+    )
+    secs = F.pmod(F.col("doc_id") * 4 + F.col("rep"), F.lit(86400))
+    date = F.concat(
+        F.lit("2026-08-01T"),
+        F.lpad((secs / 3600).cast("long").cast("string"), 2, "0"), F.lit(":"),
+        F.lpad((F.pmod(secs, F.lit(3600)) / 60).cast("long").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(F.pmod(secs, F.lit(60)).cast("string"), 2, "0"),
+        F.lit("Z"),
+    )
+    body = F.concat(
+        F.lit("<html><head><title>page</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><ul></ul></body></html>"),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
+        F.length(body).cast("string"), F.lit("\r\n\r\n"), body,
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:md5:"),
+        F.md5(url.cast("binary")), F.lit(">\r\nWARC-Date: "), date,
+        F.lit("\r\nWARC-Target-URI: "), url,
+        F.lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+        F.length(http).cast("string"), F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+    )
+    pages = rows.select(
+        url.alias("url"), "lang", "source", "text",
+        F.encode(record, "UTF-8").alias("html"),
+    )
+    parsed = parse_warc_column(pages, "html", keep=["url", "lang", "source", "text"])
     return (
         parsed.withColumn(
             "text_identical",
@@ -1649,12 +1719,13 @@ def warc_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("target_uri") == F.col("url"))
             & F.col("error").isNull(),
         )
-        .groupBy(host.alias("host"), "lang")
+        .groupBy("source", "lang")
         .agg(
             F.count("*").alias("n_pages"),
             F.sum(F.when(F.col("text_identical"), 1).otherwise(0)).alias("n_verified"),
+            F.sum(F.octet_length("payload")).alias("payload_bytes"),
         )
-        .orderBy("host", "lang")
+        .orderBy("source", "lang")
     )
 
 
@@ -1770,7 +1841,16 @@ def _arc_roundtrip(spark: SparkSession) -> DataFrame:
     )
 
 
-@register("archive_roundtrip_agg")
+@register(
+    "archive_roundtrip_agg",
+    oracle="""
+    SELECT 'arc' AS format, CAST(5000 AS BIGINT) AS n_records,
+           CAST(5000 AS BIGINT) AS n_verified
+    UNION ALL
+    SELECT 'warc', CAST(2000 AS BIGINT), CAST(2000 AS BIGINT)
+    ORDER BY format
+    """,
+)
 def archive_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-exact round trips for BOTH archive formats in one
     driver-checked pass (one row per format; n_verified must equal
@@ -1778,8 +1858,18 @@ def archive_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     member-per-record sink -> multi-file scan -> ingest bridge), the ARC
     leg serializes+reparses v2 files per applyInPandas group. Merges
     r1-r3's warc_files_roundtrip_agg and arc_roundtrip_agg so the driver's
-    50-query window covers everything (VERDICT r3 #2)."""
-    return _warc_files_roundtrip(spark).unionByName(_arc_roundtrip(spark))
+    50-query window covers everything (VERDICT r3 #2).
+
+    r5 (VERDICT r4 #4): the inputs are fixed-size deterministic corpora
+    (2,000 WARC / 5,000 ARC synth pages with distinct urls), so the
+    correct output is the closed-form constant tuple the oracle states —
+    any lost/unverified record breaks the hash match, not just the
+    in-query n_verified==n_records self-check."""
+    return (
+        _warc_files_roundtrip(spark)
+        .unionByName(_arc_roundtrip(spark))
+        .orderBy("format")
+    )
 
 
 @register(
