@@ -36,7 +36,7 @@ HEADLINE = [
     "q10_returned_items",
     "window_top3_customers_per_nation",
     "events_sessionized",
-    "doc_exact_dedup_survivors",
+    "doc_full_dedup_survivors",  # r5: absorbed doc_exact_dedup_survivors
     "doc_minhash_near_dups",
     "doc_quality_features",
     "emb_cosine_top10",
