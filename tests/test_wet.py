@@ -84,6 +84,54 @@ def test_wat_same_second_revisits_get_distinct_ids(spark):
     assert len(ids) == 6 and len(set(ids)) == 6
 
 
+def test_wat_all_record_types(spark):
+    """WAT covers all three CC envelope kinds (VERDICT r4 #7): response,
+    request (method/path/version parsed from the request line), and
+    warcinfo (warc-fields verbatim, NO WARC-Target-URI header)."""
+    import datetime
+
+    rows = [
+        ("warcinfo", None,
+         b"software: warc-spark\r\nformat: WARC File Format 1.0\r\n", "<urn:a>"),
+        ("request", "http://h.example.org/x",
+         b"GET /x?q=1 HTTP/1.1\r\nHost: h.example.org\r\n\r\n", "<urn:b>"),
+        ("response", "http://h.example.org/x",
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+         b"<html><body><p>t</p></body></html>", "<urn:c>"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (t, u, datetime.datetime(2024, 1, 1), bytearray(p), 0, len(p),
+             "sha1:XYZ", rid, "f.warc.gz")
+            for t, u, p, rid in rows
+        ],
+        "warc_type string, target_uri string, warc_date timestamp, "
+        "payload binary, offset long, size long, payload_digest string, "
+        "record_id string, filename string",
+    )
+    out = wat_records(df, with_html_metadata=False).collect()
+    envs = {}
+    for r in out:
+        env = json.loads(bytes(r.payload).decode("utf-8"))
+        envs[env["record_type"]] = (r, env)
+    assert set(envs) == {"warcinfo", "request", "response"}
+    req_r, req_e = envs["request"]
+    assert req_e["method"] == "GET"
+    assert req_e["path"] == "/x?q=1"
+    assert req_e["http_version"] == "HTTP/1.1"
+    assert req_e["refers_to"] == "<urn:b>"
+    wi_r, wi_e = envs["warcinfo"]
+    assert "software: warc-spark" in wi_e["warc_fields"]
+    assert wi_e["refers_to"] == "<urn:a>"
+    assert "warc-target-uri" not in wi_r.headers
+    assert "WARC-Target-URI" not in list(wi_r.header_names)
+    resp_r, resp_e = envs["response"]
+    assert resp_e["status"] == 200 and resp_e["refers_to"] == "<urn:c>"
+    # every WAT record is a metadata record with a distinct id
+    assert all(r.headers["warc-type"] == "metadata" for r, _ in envs.values())
+    assert len({r.headers["warc-record-id"] for r, _ in envs.values()}) == 3
+
+
 def test_wat_envelope(spark, tmp_path):
     pages = synth_pages(spark, 30, seed=7, n_hosts=3)
     recs = parse_warc_column(pages, "html", keep=[])

@@ -187,6 +187,25 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--max-hops", type=int, default=8)
     r.add_argument("--master", default=None)
 
+    s = sub.add_parser(
+        "seeds",
+        help="merge (url, priority) seed tables from different signals "
+             "(graph --seeds-out ranks, recrawl scheduler, sitemap "
+             "discovery) into ONE weighted max-merged frontier input -> "
+             "parquet for `crawl --seeds-table`",
+    )
+    s.add_argument(
+        "--tables", nargs="+", required=True,
+        help="parquet dirs, each with (url, priority) columns",
+    )
+    s.add_argument(
+        "--weights", nargs="+", type=float, default=None,
+        help="one weight per table scaling its [0,1] priorities into the "
+             "shared scale (default 1.0 each)",
+    )
+    s.add_argument("--out", required=True, help="output parquet dir")
+    s.add_argument("--master", default=None)
+
     x = sub.add_parser(
         "index",
         help="offset index for WARC (gzip members) or ARC (records) -> "
@@ -217,6 +236,18 @@ def main(argv: list[str] | None = None) -> int:
         pages.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"pages": n, "out": args.out}))
+        spark.stop()
+        return 0
+    if args.cmd == "seeds":
+        from .operators.priority import merge_seed_tables
+        from .plans import get_spark
+
+        spark = get_spark(app="warc_spark_seeds", master=args.master)
+        tables = [spark.read.parquet(p) for p in args.tables]
+        merged = merge_seed_tables(tables, weights=args.weights)
+        merged.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"seeds": n, "tables": len(tables), "out": args.out}))
         spark.stop()
         return 0
     if args.cmd == "compact":

@@ -44,25 +44,30 @@ def _date_str(ts: Column) -> Column:
     return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
 
 
-def _sink_rows(wtype: str, uri: Column, date: Column, ctype: str, payload: Column, extra: list[tuple[str, Column]] = (), id_salt: Column | None = None) -> list[Column]:
+def _sink_rows(wtype: str, uri: Column | None, date: Column, ctype: str, payload: Column, extra: list[tuple[str, Column]] = (), id_salt: Column | None = None) -> list[Column]:
     """(header_names, headers, payload) columns for the write_warc sink:
     names carry wire spellings/order, the map is keyed lowercase.
 
     ``id_salt`` mixes a per-record distinguisher into the record id:
     (type, uri, date) alone collides for two captures of the same URI in
     the same second — common with revisits/duplicates in real crawls —
-    violating WARC's record-id uniqueness requirement (ADVICE r4)."""
+    violating WARC's record-id uniqueness requirement (ADVICE r4).
+    ``uri=None`` omits WARC-Target-URI entirely (warcinfo-derived
+    records: the WARC spec gives them no target)."""
+    uri_hdr = [] if uri is None else [("WARC-Target-URI", uri)]
     names = (
-        ["WARC-Type", "WARC-Record-ID", "WARC-Date", "WARC-Target-URI"]
+        ["WARC-Type", "WARC-Record-ID", "WARC-Date"]
+        + [n for n, _ in uri_hdr]
         + [n for n, _ in extra]
         + ["Content-Type", "Content-Length"]
     )
-    id_cols = [F.lit(wtype), uri, date] + ([id_salt] if id_salt is not None else [])
+    id_cols = [F.lit(wtype)] + ([] if uri is None else [uri]) + [date]
+    id_cols += [id_salt] if id_salt is not None else []
     vals: list[tuple[str, Column]] = [
         ("WARC-Type", F.lit(wtype)),
         ("WARC-Record-ID", _uuid_of(*id_cols)),
         ("WARC-Date", date),
-        ("WARC-Target-URI", uri),
+        *uri_hdr,
         *extra,
         ("Content-Type", F.lit(ctype)),
         ("Content-Length", F.octet_length(payload).cast("string")),
@@ -136,14 +141,18 @@ def _html_meta_kernel(body, url, ctype, raw_ct):
 
 def wat_records(records: DataFrame, with_html_metadata: bool = True) -> DataFrame:
     """records scan -> sink-ready WAT rows: one ``metadata`` record per
-    response capture, payload = a JSON envelope with the capture's HTTP
-    facts (status, mime, headers), geometry (offset, length, digest) and
-    — like Common Crawl's WAT — an HTML-Metadata block (``title``,
-    ``base``, ``links`` with per-link anchor ``text``) for html captures.
-    Envelope built by ``to_json(struct(...))`` JVM-side; the metadata
-    block is the only Python stage (one Arrow pass of the htmlext
-    kernels; ``with_html_metadata=False`` skips it and the body never
-    crosses the boundary)."""
+    source record, covering ALL THREE envelope kinds Common Crawl's WAT
+    carries (VERDICT r4 #7) — ``response`` (HTTP facts: status, mime,
+    headers; geometry: offset, length, digest; and an HTML-Metadata block
+    ``title``/``base``/``links`` with per-link anchor ``text`` for html
+    captures), ``request`` (method, path, http version parsed from the
+    request line with JVM regexps), and ``warcinfo`` (the warc-fields
+    payload text). Every envelope carries a ``record_type`` discriminator
+    and ``refers_to`` = the source record's id. Envelopes are built by
+    ``to_json(struct(...))`` JVM-side; the response HTML-metadata block
+    is the only Python stage (one Arrow pass of the htmlext kernels;
+    ``with_html_metadata=False`` skips it and the body never crosses the
+    boundary)."""
     from pyspark.sql.types import (
         ArrayType,
         StringType,
@@ -160,6 +169,7 @@ def wat_records(records: DataFrame, with_html_metadata: bool = True) -> DataFram
         drop_payload=True,
     )
     env_fields = [
+        F.lit("response").alias("record_type"),
         F.col("target_uri").alias("url"),
         _date_str(F.col("warc_date")).alias("warc_date"),
         F.col("http_status").alias("status"),
@@ -205,7 +215,9 @@ def wat_records(records: DataFrame, with_html_metadata: bool = True) -> DataFram
         ]
     env = F.to_json(F.struct(*env_fields), {"ignoreNullFields": "false"})
     extra = [("WARC-Refers-To", F.col("record_id"))]
-    return sp.select(
+    # the source record's id is unique by construction — two same-second
+    # captures of one URI yield distinct WAT ids
+    resp_rows = sp.select(
         *_sink_rows(
             "metadata",
             F.col("target_uri"),
@@ -213,11 +225,72 @@ def wat_records(records: DataFrame, with_html_metadata: bool = True) -> DataFram
             "application/json",
             F.encode(env, "UTF-8"),
             extra,
-            # the source record's id is unique by construction — two
-            # same-second captures of one URI yield distinct WAT ids
             id_salt=F.col("record_id"),
         )
     )
+
+    # request records: method/path/version from the request line (the
+    # header block is printable ascii; a lenient UTF-8 decode of the
+    # payload prefix is exact for it), all JVM regexps
+    req = records.filter(
+        (F.col("warc_type") == "request") & F.col("target_uri").isNotNull()
+    )
+    req_head = F.decode(F.substring(F.col("payload"), 1, 8192), "UTF-8")
+    req_env = F.to_json(
+        F.struct(
+            F.lit("request").alias("record_type"),
+            F.col("target_uri").alias("url"),
+            _date_str(F.col("warc_date")).alias("warc_date"),
+            F.regexp_extract(req_head, r"^([A-Z]+) ", 1).alias("method"),
+            F.regexp_extract(req_head, r"^[A-Z]+ (\S+)", 1).alias("path"),
+            F.regexp_extract(req_head, r"^[A-Z]+ \S+ (HTTP/[\d.]+)", 1).alias(
+                "http_version"
+            ),
+            F.col("offset").alias("offset"),
+            F.col("size").alias("length"),
+            F.col("record_id").alias("refers_to"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    req_rows = req.select(
+        *_sink_rows(
+            "metadata",
+            F.col("target_uri"),
+            _date_str(F.col("warc_date")),
+            "application/json",
+            F.encode(req_env, "UTF-8"),
+            [("WARC-Refers-To", F.col("record_id"))],
+            id_salt=F.col("record_id"),
+        )
+    )
+
+    # warcinfo records: the warc-fields payload rides along verbatim;
+    # no WARC-Target-URI (the spec gives warcinfo none)
+    winfo = records.filter(F.col("warc_type") == "warcinfo")
+    winfo_env = F.to_json(
+        F.struct(
+            F.lit("warcinfo").alias("record_type"),
+            _date_str(F.col("warc_date")).alias("warc_date"),
+            F.decode(F.col("payload"), "UTF-8").alias("warc_fields"),
+            F.col("filename").alias("filename"),
+            F.col("offset").alias("offset"),
+            F.col("size").alias("length"),
+            F.col("record_id").alias("refers_to"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    winfo_rows = winfo.select(
+        *_sink_rows(
+            "metadata",
+            None,
+            _date_str(F.col("warc_date")),
+            "application/json",
+            F.encode(winfo_env, "UTF-8"),
+            [("WARC-Refers-To", F.col("record_id"))],
+            id_salt=F.col("record_id"),
+        )
+    )
+    return resp_rows.unionByName(req_rows).unionByName(winfo_rows)
 
 
 def write_wet(pages: DataFrame, out_dir: str, compress: bool = True) -> DataFrame:
