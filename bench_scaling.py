@@ -1,7 +1,9 @@
 """Scaling-efficiency evidence for the north rule: run the SAME frontier
 job on the SAME input at two parallelism levels (N vs 4N cores — the
 sandbox proxy for N vs 4N executors; no real cluster is available here) and
-report throughput at both plus scaling efficiency. Writes BENCH/BASELINE.md.
+report throughput at both plus scaling efficiency. Updates the
+marker-delimited current-run section of BENCH/BASELINE.md in place
+(history, normalization analyses, and the bench_skew section persist).
 
 Methodology (single SHARED host, not a cluster — two confounds must be
 controlled):
@@ -38,6 +40,11 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+
+# BENCH/BASELINE.md section markers: this script owns ONLY this slice of
+# the file (see the writer at the end of main)
+BEGIN = "<!-- bench_scaling:begin -->"
+END = "<!-- bench_scaling:end -->"
 
 
 # ---------------------------------------------------------------------------
@@ -265,19 +272,12 @@ def main() -> None:
         f"**{r['speedup_2_8']:.2f}x** | {r['speedup_8_32']:.2f}x |"
         for r in rr
     )
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(
-            f"""# BENCH/BASELINE — frontier throughput & scaling efficiency
-
-North rule: the same frontier job at two cluster sizes (N vs 4N executors)
-with throughput scaling efficiency >= 0.8. No real cluster exists in this
-sandbox, so the evidence is the same job, same input, at two parallelism
-levels on ONE shared host — with the two confounds controlled:
-per-level persistent JVMs run the N and 4N legs INTERLEAVED for
-{len(rr)} rounds (the VM's delivered performance drifts by tens of percent
-between epochs; each round's ratio is same-epoch), and no-JVM calibration
-burns measure what the hardware itself gives up at higher process counts.
+    # update ONLY the marker-delimited current-run section of
+    # BENCH/BASELINE.md, preserving the epoch history, the round-over-round
+    # normalization analyses, and the bench_skew section (r5: the old
+    # wholesale rewrite destroyed them on every rerun)
+    section = f"""{BEGIN}
+## Current scaling run (bench_scaling.py — latest epoch at this head)
 
 Exact configuration of THIS run (the script's defaults reproduce it):
 `SCALING_PAGES={n_pages} SCALING_SEEDS={n_seeds} SCALING_BATCHES={batches}
@@ -293,7 +293,7 @@ jobs via df.observe — 4 Spark jobs/batch). Fetch simulation does the real
 per-URL pipeline work: corpus join, link+text extraction (one Arrow pass),
 sha1 digest, parquet checkpoint.
 
-## Interleaved rounds (primary pair local[{lo}] -> local[{hi}]; {ratio:.0f}x cores)
+### Interleaved rounds (primary pair local[{lo}] -> local[{hi}]; {ratio:.0f}x cores)
 
 | round | t local[{lo}] | t local[{hi}] | t local[{wide}] | urls/s @{lo} | urls/s @{hi} | urls/s @{wide} | speedup {lo}->{hi} | speedup {hi}->{wide} |
 |---|---|---|---|---|---|---|---|---|
@@ -303,18 +303,7 @@ sha1 digest, parquet checkpoint.
 - hardware ceilings at {ratio:.0f}x busy processes ({lo} -> {hi}), same epoch, no JVM: cpu {hw_speedup:.2f}x, memory-bandwidth {bw_speedup:.2f}x
 - software efficiency vs the matched (bandwidth) ceiling: **{report['software_efficiency_vs_bw']:.2f}**; vs the cpu ceiling: {report['software_efficiency_vs_cpu']:.2f} (target >= 0.8 against what the hardware can deliver — the frontier streams 3 KB blobs, a bandwidth-class load)
 
-## Why local[{wide}] is a host artifact
-
-The bandwidth burn shows this box's memory system saturates near 8 busy
-processes in most epochs; the frontier streams 3 KB html blobs through
-joins/Arrow/parquet and hits the same wall (even the embarrassingly
-parallel corpus *generation* slows at 32 threads). On a real cluster 4N
-executors are separate machines — bandwidth scales with executor count.
-The engine itself keeps per-batch driver work at O(#buckets), not
-O(#urls), and every stage is a width-independent DataFrame plan (PLANS.md),
-so nothing in the software serializes at higher width.
-
-## Calibration burns (no JVM; multiprocessing)
+### Calibration burns (no JVM; multiprocessing; run BEFORE the level JVMs start)
 
 | busy procs | cpu tasks/s (arithmetic) | bw tasks/s (120 MB streaming copies) |
 |---|---|---|
@@ -322,7 +311,7 @@ so nothing in the software serializes at higher width.
 | {hi} | {cpu[hi]:.2f} | {bw[hi]:.2f} |
 | {wide} | {cpu[wide]:.2f} | {bw[wide]:.2f} |
 
-## vs the reference
+### vs the reference
 
 The reference library (BASELINE.md) reads ~13.8k-39k records/s on ONE core
 with no scheduler, no dedup, no checkpointing. The engine schedules+
@@ -330,22 +319,18 @@ fetch-simulates {max(r['ups8'] for r in rr):,} urls/s at local[{hi}]
 ({max(r['ups2'] for r in rr):,} even at local[{lo}]) *including* frontier
 scheduling, bloom membership, politeness, link+text extraction, digesting
 and snapshot checkpointing per batch.
-
-## Normalizing per-round bench.py numbers
-
-`bench.py` (the driver's per-round hook) runs the same no-JVM cpu and
-bandwidth burns before Spark starts and emits them as `calibration` in its
-JSON line. To compare BENCH_r{{N}} totals across rounds, divide each
-round's times by that round's `calibration` ratio (compute-bound queries
-normalize by the cpu burn, the frontier leg by the bandwidth burn) — an
-apparent cross-round regression that normalizes away is host-epoch drift,
-not a code delta.
-
-Reproduce: `python bench_scaling.py`
-(env: SCALING_PAGES, SCALING_SEEDS, SCALING_BATCHES, SCALING_ROUNDS,
-SCALING_PAIR, SCALING_WIDE, SCALING_DRIVER_MEM).
-"""
-        )
+{END}"""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    text = open(path).read() if os.path.exists(path) else "# BENCH/BASELINE\n"
+    if BEGIN in text:
+        pre = text.split(BEGIN)[0]
+        post = text.split(END, 1)[1] if END in text else ""
+        text = pre + section + post
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open(path, "w") as f:
+        f.write(text)
 
 
 if __name__ == "__main__":
