@@ -279,12 +279,14 @@ def test_cuckoo_distributed_probe_copartitioned_join(spark):
     assert len(exchanges) >= 2, p
 
 
-def test_resolve_redirects_edges_cached_single_scan(spark, tmp_path):
-    """resolve_redirects persists the slim edge projection: the K=8
-    hop-joins must consume an InMemoryTableScan, and the capture source
-    must be scanned a CONSTANT number of times (cache-build + state +
-    terminal = 3), not once per hop (VERDICT r4 #5: K re-plans of the
-    edge subtree re-ran the capture scan 8x)."""
+def test_resolve_redirects_edges_cached_no_leak(spark, tmp_path):
+    """resolve_redirects persists the slim edge projection for the K=8
+    hop-joins (VERDICT r4 #5: uncached, the capture scan re-ran 8x),
+    materializes the walk eagerly, and RELEASES the cache before
+    returning (r5 review: a lazy return leaked one cached edge copy per
+    call for the session lifetime). Contract: the returned frame is a
+    checkpoint scan with ZERO parquet scans left in its plan, and the
+    session's cache is empty afterwards."""
     from warc_spark.operators.redirects import resolve_redirects
 
     path = str(tmp_path / "caps")
@@ -295,12 +297,49 @@ def test_resolve_redirects_edges_cached_single_scan(spark, tmp_path):
                F.concat(F.lit("http://h/p"), (F.col("id") + 1).cast("string"))).alias("location"),
     ).write.mode("overwrite").parquet(path)
     caps = spark.read.parquet(path)
+    spark.catalog.clearCache()
     out = resolve_redirects(caps, max_hops=8)
-    try:
-        out.count()  # materialize the edge cache so the plan shows the scans
-        p = plan_of(out)
-        assert "InMemoryTableScan" in p, p
-        n_scans = len(_node_blocks(p, "Scan parquet"))
-        assert n_scans <= 3, (n_scans, p)
-    finally:
-        spark.catalog.clearCache()
+    p = plan_of(out)
+    # the walk already ran: nothing left to scan, nothing left cached
+    assert len(_node_blocks(p, "Scan parquet")) == 0, p
+    assert "InMemoryTableScan" not in p, p
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    assert jcache.isEmpty(), "edge cache leaked past resolve_redirects"
+    assert out.count() == 50
+
+
+def test_wat_records_single_scan(spark, tmp_path):
+    """wat_records builds all three envelope kinds (response, request,
+    warcinfo) in ONE select over ONE pass of the records source (r5
+    review #4: the previous three-filter union re-scanned — and for gzip
+    WARCs re-gunzipped — the entire input three times per export)."""
+    from warc_spark.sources.wet import wat_records
+
+    path = str(tmp_path / "recs")
+    spark.range(0, 30).select(
+        F.when(F.col("id") % 3 == 0, F.lit("response"))
+        .when(F.col("id") % 3 == 1, F.lit("request"))
+        .otherwise(F.lit("warcinfo")).alias("warc_type"),
+        F.when(F.col("id") % 3 != 2,
+               F.concat(F.lit("http://h/p"), F.col("id").cast("string"))).alias("target_uri"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_date"),
+        F.encode(F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nhi"), "UTF-8").alias("payload"),
+        F.lit("sha1:AAAA").alias("payload_digest"),
+        F.lit(0).cast("long").alias("offset"),
+        F.lit(10).cast("long").alias("size"),
+        F.concat(F.lit("<urn:uuid:r"), F.col("id").cast("string"), F.lit(">")).alias("record_id"),
+        F.lit("part-0.warc.gz").alias("filename"),
+    ).write.mode("overwrite").parquet(path)
+    rows = wat_records(spark.read.parquet(path))
+    p = plan_of(rows)
+    assert len(_node_blocks(p, "Scan parquet")) == 1, p
+    assert "Union" not in p, p
+    got = rows.collect()
+    assert len(got) == 30
+    # warcinfo rows omit WARC-Target-URI; the others carry it
+    for r in got:
+        names = list(r.header_names)
+        if '"record_type":"warcinfo"' in bytes(r.payload).decode():
+            assert "WARC-Target-URI" not in names
+        else:
+            assert "WARC-Target-URI" in names

@@ -65,6 +65,45 @@ class TestEdges:
             "http://h.example.org/dot/u": "http://h.example.org/rooted.html",
         }
 
+    def test_scheme_prefixed_locations_pass_through(self, spark):
+        """A reference with ANY scheme prefix is absolute (RFC 3986 §4.2)
+        — non-hierarchical mailto:/urn:/data: Locations must pass through
+        verbatim (landing as dangling), never be merge-pathed into a
+        fabricated url (r5 review #1)."""
+        c = _caps(spark, [
+            ("http://h.example.org/a/b", 301, "mailto:webmaster@h.com"),
+            ("http://h.example.org/a/c", 301, "urn:isbn:0451450523"),
+            ("http://h.example.org/a/d", 301, "data:text/plain,hi"),
+            ("http://h.example.org/a/e", 301, "http:opaque"),
+        ])
+        got = {r.url: r.target for r in redirect_edges(c).collect()}
+        assert got == {
+            "http://h.example.org/a/b": "mailto:webmaster@h.com",
+            "http://h.example.org/a/c": "urn:isbn:0451450523",
+            "http://h.example.org/a/d": "data:text/plain,hi",
+            "http://h.example.org/a/e": "http:opaque",
+        }
+
+    def test_base_url_query_handling(self, spark):
+        """The capture url's own ?query must never leak into the origin
+        (r5 review #2: [^/]+ swallowed it on path-less urls), a
+        fragment-only reference keeps the base query (RFC 3986 §5.3), a
+        query-only one replaces it, and '/./' runs of any depth collapse
+        (r5 review: the 2-pass unroll left '/./' residue at depth >=4)."""
+        c = _caps(spark, [
+            ("http://h.example.org?q=1", 301, "next.html"),    # query, no path
+            ("http://h.example.org/p?a=1", 301, "#sec"),       # frag keeps query
+            ("http://h.example.org/p?a=1&b=2", 301, "?c=3"),   # query replaced
+            ("http://h.example.org/dir/p", 301, "./././././x"),  # deep ./ run
+        ])
+        got = {r.url: r.target for r in redirect_edges(c).collect()}
+        assert got == {
+            "http://h.example.org?q=1": "http://h.example.org/next.html",
+            "http://h.example.org/p?a=1": "http://h.example.org/p?a=1#sec",
+            "http://h.example.org/p?a=1&b=2": "http://h.example.org/p?c=3",
+            "http://h.example.org/dir/p": "http://h.example.org/dir/x",
+        }
+
     def test_network_path_location_keeps_scheme(self, spark):
         """'Location: //cdn.example.org/x' is a network-path reference:
         it keeps the capture's scheme, NOT its origin."""
@@ -113,9 +152,13 @@ class TestResolve:
         assert (r3.final_url, r3.hops, r3.resolved) == (urls[5], 2, True)
 
     def test_no_python_in_plan(self, spark):
+        """Checked on the internal lazy walk plan — the public function
+        eagerly checkpoints (its returned plan is just an RDD scan)."""
+        from warc_spark.operators.redirects import _walk_plan
+
         c = _caps(spark, [("http://h/a", 301, "http://h/b"), ("http://h/b", 200, None)])
         buf = io.StringIO()
         with redirect_stdout(buf):
-            resolve_redirects(c, max_hops=4).explain("formatted")
+            _walk_plan(c, redirect_edges(c), 4, "url", "http_status").explain("formatted")
         plan = buf.getvalue()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

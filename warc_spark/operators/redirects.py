@@ -23,11 +23,13 @@ Plan shape for 100 TB
   than 4 ``..`` pops per path collapses partially — unseen on real
   captures, and deterministic either way).
 - ``resolve_redirects`` advances every url ``max_hops`` times through
-  ONE lazy plan of K url-keyed joins against the slim edge table, which
-  is persisted once so the capture scan behind it runs once, not K times
+  ONE plan of K url-keyed joins against the slim edge table, which is
+  persisted once so the capture scan behind it runs once, not K times
   (AQE broadcasts it when it fits — redirect captures are a small
   fraction of a crawl; otherwise co-partitioned joins reuse one
-  partitioning). No driver actions, no Python. K is a constant (chains
+  partitioning). The walk materializes eagerly (localCheckpoint of the
+  slim result) so the edge cache is released before returning — no
+  session-lifetime cache growth per call. No Python. K is a constant (chains
   beyond ~8 hops are loops in practice, and browsers cap near 20), so
   plan growth is linear and bounded — the pagerank trade, not the
   components one.
@@ -40,19 +42,21 @@ from pyspark.sql import functions as F
 
 REDIRECT_STATUSES = (301, 302, 303, 307, 308)
 
-_ORIGIN_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]+)"
+_ORIGIN_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+)"
 _BASE_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
 
 
 def _remove_dot_segments(p):
     """RFC 3986 §5.2.4 over a PATH column as bounded regexp passes (pure
-    JVM): ``/./`` and trailing ``/.`` collapse, then ``/seg/../`` pairs
+    JVM): ``/./`` runs and trailing ``/.`` collapse (one pass each — the
+    run-quantified pattern handles any depth), then ``/seg/../`` pairs
     (4 passes — each pass clears one nesting level across the whole
     string), then leading ``/../`` runs pop to root. Deterministic
     documented subset: >4-deep ``..`` nesting collapses partially."""
-    for _ in range(2):
-        p = F.regexp_replace(p, r"/\./", "/")
-    p = F.regexp_replace(p, r"/\.$", "/")
+    # '(/.)+/' -> '/' collapses a run of any length in ONE global pass
+    # (no lookahead — the DuckDB/RE2 oracle replays the same pattern)
+    p = F.regexp_replace(p, r"(/\.)+/", "/")
+    p = F.regexp_replace(p, r"(/\.)+$", "/")
     for _ in range(4):
         p = F.regexp_replace(p, r"/[^/]+/\.\./", "/")
         p = F.regexp_replace(p, r"/[^/]+/\.\.$", "/")
@@ -66,13 +70,15 @@ def redirect_edges(
     location_col: str = "location",
 ) -> DataFrame:
     """``(url, target)`` — one row per captured 3xx with a Location.
-    Absolute Locations pass through; network-path ``//host/..`` ones keep
-    the capture url's scheme; root-relative ones resolve against its
-    origin; query/fragment-only ones keep its path; path-relative ones
-    (``next.html``, ``../x`` — RFC 9110 permits them and real servers
-    emit them) resolve via RFC 3986 §5.3 merge-path + §5.2.4 dot-segment
-    removal against the capture url. Map-only; only the two url strings
-    survive."""
+    Absolute Locations (any ``scheme:`` prefix — ``http://``, but also
+    non-hierarchical ``mailto:``/``urn:``/``data:``, RFC 3986 §4.2) pass
+    through; network-path ``//host/..`` ones keep the capture url's
+    scheme; root-relative ones resolve against its origin; query-only
+    ones keep its path; fragment-only ones keep its path AND query;
+    path-relative ones (``next.html``, ``../x`` — RFC 9110 permits them
+    and real servers emit them) resolve via RFC 3986 §5.3 merge-path +
+    §5.2.4 dot-segment removal against the capture url. Map-only; only
+    the two url strings survive."""
     url, loc = F.col(url_col), F.col(location_col)
     origin = F.regexp_extract(url, _ORIGIN_RE, 1)
     scheme = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.\-]*):", 1)
@@ -85,21 +91,40 @@ def redirect_edges(
     # base path (authority-only url) merges as '/'
     base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
     base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
+    base_query = F.regexp_extract(url, r"^[^?#]*(\?[^#]*)", 1)
     target = (
         F.when(loc.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"), loc)
         .when(  # network-path reference (//host/path): keep the scheme
             loc.startswith("//") & (scheme != ""),
             F.concat(scheme, F.lit(":"), loc),
         )
+        .when(  # any other scheme-prefixed reference (mailto:, urn:,
+            # data:, opaque http:x) is ABSOLUTE per RFC 3986 §4.2 — a
+            # reference whose first segment contains ':' is never a
+            # relative path; pass it through verbatim (lands as dangling)
+            loc.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"),
+            loc,
+        )
         .when(
             loc.startswith("/") & (origin != ""),
             F.concat(origin, _remove_dot_segments(loc_path), loc_suffix),
         )
-        .when(  # query-/fragment-only reference: keep the capture's path
-            (loc.startswith("?") | loc.startswith("#")) & (origin != ""),
+        .when(  # query-only reference: keep the capture's path, replace
+            # its query
+            loc.startswith("?") & (origin != ""),
             F.concat(
                 origin,
                 F.when(base_path == "", F.lit("/")).otherwise(base_path),
+                loc,
+            ),
+        )
+        .when(  # fragment-only reference: keep the capture's path AND
+            # query (RFC 3986 §5.3 — only the fragment is replaced)
+            loc.startswith("#") & (origin != ""),
+            F.concat(
+                origin,
+                F.when(base_path == "", F.lit("/")).otherwise(base_path),
+                base_query,
                 loc,
             ),
         )
@@ -143,11 +168,35 @@ def resolve_redirects(
 
     Captures must be one-row-per-url (reduce history with
     ``latest_captures`` first). Deterministic: each url has at most one
-    outgoing edge, so the walk is a function, not a search."""
+    outgoing edge, so the walk is a function, not a search.
+
+    EAGER: the walk materializes at call time (one localCheckpoint of the
+    slim result) so the edge cache backing the K hop-joins can be
+    released before returning — a lazy return would leak one cached edge
+    copy per call for the session lifetime (the checkpoint blocks are
+    freed by Spark's ContextCleaner once the returned frame is dropped,
+    so nothing persists beyond the result's own lifetime)."""
     # persist the slim edge projection: the K hop-joins (and the terminal
     # labeling) all reference it — uncached, the capture scan behind it
     # would re-run once per hop (VERDICT r4: correct but wasteful at 100x)
     edges = redirect_edges(captures, url_col, status_col, location_col).persist()
+    out = _walk_plan(captures, edges, max_hops, url_col, status_col).localCheckpoint(
+        eager=True
+    )
+    edges.unpersist()
+    return out
+
+
+def _walk_plan(
+    captures: DataFrame,
+    edges: DataFrame,
+    max_hops: int,
+    url_col: str,
+    status_col: str,
+) -> DataFrame:
+    """The lazy K-join walk + terminal labeling behind
+    ``resolve_redirects`` — separated so tests can inspect the plan
+    before the eager checkpoint swallows it."""
     state = captures.select(
         F.col(url_col).alias("url"),
         F.col(url_col).alias("cur"),

@@ -864,7 +864,13 @@ def doc_full_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays both stages brute-force — so the gate checks the pipeline
     composition, not just each operator alone."""
     d = t(spark, sf_dir, "documents")
-    survivors = dedup.dedup_exact(d, id_col="doc_id", text_col="text")
+    # lazy localCheckpoint: three subtrees below (exact_agg, the MinHash
+    # pairs, the anti-join) all consume survivors — unchecked, each
+    # re-runs the md5-groupBy+window exact-dedup shuffle (r5 review #5).
+    # Blocks are freed by the ContextCleaner when the frame is dropped.
+    survivors = dedup.dedup_exact(d, id_col="doc_id", text_col="text").localCheckpoint(
+        eager=False
+    )
     exact_agg = survivors.groupBy("lang").agg(
         F.count("*").alias("n_survivors")
     ).select(F.lit("exact").alias("stage"), "lang", "n_survivors")

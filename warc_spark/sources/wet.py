@@ -44,7 +44,7 @@ def _date_str(ts: Column) -> Column:
     return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
 
 
-def _sink_rows(wtype: str, uri: Column | None, date: Column, ctype: str, payload: Column, extra: list[tuple[str, Column]] = (), id_salt: Column | None = None) -> list[Column]:
+def _sink_rows(wtype: str, uri: Column | None, date: Column, ctype: str, payload: Column, extra: list[tuple[str, Column]] = (), id_salt: Column | None = None, omit_null_uri: bool = False) -> list[Column]:
     """(header_names, headers, payload) columns for the write_warc sink:
     names carry wire spellings/order, the map is keyed lowercase.
 
@@ -53,7 +53,11 @@ def _sink_rows(wtype: str, uri: Column | None, date: Column, ctype: str, payload
     the same second — common with revisits/duplicates in real crawls —
     violating WARC's record-id uniqueness requirement (ADVICE r4).
     ``uri=None`` omits WARC-Target-URI entirely (warcinfo-derived
-    records: the WARC spec gives them no target)."""
+    records: the WARC spec gives them no target). ``omit_null_uri=True``
+    makes that decision PER ROW from the uri column's nullness — the
+    single-pass WAT select mixes warcinfo rows (no target) with
+    response/request rows in one frame. Record ids are identical either
+    way: ``_uuid_of`` joins with concat_ws, which skips null columns."""
     uri_hdr = [] if uri is None else [("WARC-Target-URI", uri)]
     names = (
         ["WARC-Type", "WARC-Record-ID", "WARC-Date"]
@@ -72,11 +76,22 @@ def _sink_rows(wtype: str, uri: Column | None, date: Column, ctype: str, payload
         ("Content-Type", F.lit(ctype)),
         ("Content-Length", F.octet_length(payload).cast("string")),
     ]
+    names_col = F.array(*[F.lit(n) for n in names])
     hmap = F.create_map(
         *[x for n, v in vals for x in (F.lit(n.lower()), v)]
     )
+    if omit_null_uri and uri is not None:
+        no_uri_names = [n for n in names if n != "WARC-Target-URI"]
+        no_uri_vals = [(n, v) for n, v in vals if n != "WARC-Target-URI"]
+        names_col = F.when(
+            uri.isNull(), F.array(*[F.lit(n) for n in no_uri_names])
+        ).otherwise(names_col)
+        hmap = F.when(
+            uri.isNull(),
+            F.create_map(*[x for n, v in no_uri_vals for x in (F.lit(n.lower()), v)]),
+        ).otherwise(hmap)
     return [
-        F.array(*[F.lit(n) for n in names]).alias("header_names"),
+        names_col.alias("header_names"),
         hmap.alias("headers"),
         payload.alias("payload"),
     ]
@@ -152,7 +167,15 @@ def wat_records(records: DataFrame, with_html_metadata: bool = True) -> DataFram
     ``to_json(struct(...))`` JVM-side; the response HTML-metadata block
     is the only Python stage (one Arrow pass of the htmlext kernels;
     ``with_html_metadata=False`` skips it and the body never crosses the
-    boundary)."""
+    boundary).
+
+    ONE scan: all three envelope kinds are built in a single select over
+    a single pass of the records source (r5 review #4: the previous
+    three-filter union re-scanned and re-gunzipped the entire WARC input
+    three times per export). The HTTP split's Arrow input is when-gated
+    to response rows, so request/warcinfo payloads never cross the
+    Python boundary for it; the envelope JSON is a per-row CASE (lazy in
+    codegen — only the matching branch evaluates)."""
     from pyspark.sql.types import (
         ArrayType,
         StringType,
@@ -160,14 +183,19 @@ def wat_records(records: DataFrame, with_html_metadata: bool = True) -> DataFram
         StructType,
     )
 
-    from .warc_source import split_http_payload
+    from ..kernels.httpresp import split_http_payload_kernel
+    from .warc_source import HTTP_SPLIT_SCHEMA
 
-    sp = split_http_payload(
-        records.filter(
-            (F.col("warc_type") == "response") & F.col("target_uri").isNotNull()
-        ),
-        drop_payload=True,
-    )
+    is_resp = F.col("warc_type") == "response"
+    is_req = F.col("warc_type") == "request"
+    is_winfo = F.col("warc_type") == "warcinfo"
+    split_udf = F.pandas_udf(split_http_payload_kernel, HTTP_SPLIT_SCHEMA)
+    sp = records.filter(
+        ((is_resp | is_req) & F.col("target_uri").isNotNull()) | is_winfo
+    ).withColumn("__http", split_udf(F.when(is_resp, F.col("payload"))))
+    for f in HTTP_SPLIT_SCHEMA.fields:
+        if f.name != "http_body":  # the body is only read via __http below
+            sp = sp.withColumn(f.name, F.col(f"__http.{f.name}"))
     env_fields = [
         F.lit("response").alias("record_type"),
         F.col("target_uri").alias("url"),
@@ -202,7 +230,7 @@ def wat_records(records: DataFrame, with_html_metadata: bool = True) -> DataFram
         sp = sp.withColumn(
             "_hm",
             meta_udf(
-                "http_body",
+                F.col("__http.http_body"),
                 "target_uri",
                 "http_content_type",
                 F.col("http_headers").getItem("content-type"),
@@ -213,28 +241,11 @@ def wat_records(records: DataFrame, with_html_metadata: bool = True) -> DataFram
             F.col("_hm.base").alias("base"),
             F.col("_hm.links").alias("links"),
         ]
-    env = F.to_json(F.struct(*env_fields), {"ignoreNullFields": "false"})
-    extra = [("WARC-Refers-To", F.col("record_id"))]
-    # the source record's id is unique by construction — two same-second
-    # captures of one URI yield distinct WAT ids
-    resp_rows = sp.select(
-        *_sink_rows(
-            "metadata",
-            F.col("target_uri"),
-            _date_str(F.col("warc_date")),
-            "application/json",
-            F.encode(env, "UTF-8"),
-            extra,
-            id_salt=F.col("record_id"),
-        )
-    )
+    resp_env = F.to_json(F.struct(*env_fields), {"ignoreNullFields": "false"})
 
     # request records: method/path/version from the request line (the
     # header block is printable ascii; a lenient UTF-8 decode of the
     # payload prefix is exact for it), all JVM regexps
-    req = records.filter(
-        (F.col("warc_type") == "request") & F.col("target_uri").isNotNull()
-    )
     req_head = F.decode(F.substring(F.col("payload"), 1, 8192), "UTF-8")
     req_env = F.to_json(
         F.struct(
@@ -252,21 +263,8 @@ def wat_records(records: DataFrame, with_html_metadata: bool = True) -> DataFram
         ),
         {"ignoreNullFields": "false"},
     )
-    req_rows = req.select(
-        *_sink_rows(
-            "metadata",
-            F.col("target_uri"),
-            _date_str(F.col("warc_date")),
-            "application/json",
-            F.encode(req_env, "UTF-8"),
-            [("WARC-Refers-To", F.col("record_id"))],
-            id_salt=F.col("record_id"),
-        )
-    )
-
     # warcinfo records: the warc-fields payload rides along verbatim;
     # no WARC-Target-URI (the spec gives warcinfo none)
-    winfo = records.filter(F.col("warc_type") == "warcinfo")
     winfo_env = F.to_json(
         F.struct(
             F.lit("warcinfo").alias("record_type"),
@@ -279,18 +277,25 @@ def wat_records(records: DataFrame, with_html_metadata: bool = True) -> DataFram
         ),
         {"ignoreNullFields": "false"},
     )
-    winfo_rows = winfo.select(
+    # the source record's id is unique by construction — two same-second
+    # captures of one URI yield distinct WAT ids; warcinfo rows carry a
+    # null uri (header omitted per row, id unchanged — concat_ws skips it)
+    env = (
+        F.when(is_resp, resp_env).when(is_req, req_env).otherwise(winfo_env)
+    )
+    uri = F.when(~is_winfo, F.col("target_uri"))
+    return sp.select(
         *_sink_rows(
             "metadata",
-            None,
+            uri,
             _date_str(F.col("warc_date")),
             "application/json",
-            F.encode(winfo_env, "UTF-8"),
+            F.encode(env, "UTF-8"),
             [("WARC-Refers-To", F.col("record_id"))],
             id_salt=F.col("record_id"),
+            omit_null_uri=True,
         )
     )
-    return resp_rows.unionByName(req_rows).unionByName(winfo_rows)
 
 
 def write_wet(pages: DataFrame, out_dir: str, compress: bool = True) -> DataFrame:
