@@ -277,3 +277,45 @@ def repetition_stats(
             F.round(F.col("_top") / F.col("n_grams"), 4).alias("top_share"),
         )
     )
+
+
+def cap_host_frequency(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    host_col: str | None = None,
+) -> DataFrame:
+    """Downsample over-represented hosts to an expected ``cap`` documents
+    each — the classic web-corpus balance step (CCNet/RefinedWeb-style:
+    a handful of mega-hosts otherwise dominate the token budget). Keeps
+    every row of hosts at or under the cap; rows of heavier hosts
+    survive with probability ``cap/n_host``, decided by a DETERMINISTIC
+    per-url hash (stable across runs, partitionings, and engines — no
+    rand()), so reruns and resumed jobs keep the same rows.
+
+    Plan shape for 100 TB: the host count is the only aggregation —
+    (host) strings with map-side partials, nothing else shuffles. Only
+    the OVER-CAP hosts (heavy hitters: few by definition) join back,
+    broadcast — the corpus side NEVER shuffles or sorts; the keep rule
+    is a map-side md5-prefix compare (32-bit hex -> int, exact-replay
+    in DuckDB via '0x'||substr(md5(url),1,8)::BIGINT).
+    """
+    from .graph import host_of_expr
+
+    host = F.col(host_col) if host_col else host_of_expr(url_col)
+    counts = (
+        df.select(host.alias("_cap_host"))
+        .groupBy("_cap_host")
+        .agg(F.count("*").alias("_cap_n"))
+        .where(F.col("_cap_n") > cap)
+    )
+    u = F.conv(F.substring(F.md5(F.col(url_col)), 1, 8), 16, 10).cast("long")
+    keep = F.col("_cap_n").isNull() | (
+        u.cast("double") * F.col("_cap_n").cast("double")
+        < F.lit(float(cap)) * F.lit(4294967296.0)
+    )
+    return (
+        df.join(F.broadcast(counts), host == F.col("_cap_host"), "left")
+        .where(keep)
+        .drop("_cap_host", "_cap_n")
+    )
