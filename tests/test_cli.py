@@ -257,3 +257,42 @@ def test_seeds_subcommand(spark, tmp_path, capsys):
         "--seed", "11",
     ])
     assert cres["batches"] == 1 and cres["scheduled"] > 0
+
+
+def test_traps_subcommand(spark, tmp_path, capsys):
+    """traps --pages: trap stats + flagged-host budget overrides, and the
+    budgets table actually throttles the flagged host via
+    flag_politeness."""
+    pages = str(tmp_path / "trap_pages")
+    trap = spark.range(0, 800).select(
+        F.concat(F.lit("http://trap.example.com/cal/"),
+                 (F.col("id") % 30).cast("string"),
+                 F.lit("/"), F.col("id").cast("string")).alias("url"))
+    ok = spark.range(0, 300).select(
+        F.concat(F.lit("http://ok.example.com/a-"),
+                 F.translate((F.col("id") % 300).cast("string"),
+                             "0123456789", "abcdefghij")).alias("url"))
+    trap.unionByName(ok).write.mode("overwrite").parquet(pages)
+    out = str(tmp_path / "traps_out")
+    res = _run(capsys, [
+        "traps", "--pages", pages, "--out", out,
+        "--min-urls", "500", "--min-urls-per-template", "100",
+        "--trap-budget", "2",
+    ])
+    assert res["hosts"] == 2 and res["flagged"] == 1
+    budgets = spark.read.parquet(res["budgets"])
+    [b] = budgets.collect()
+    assert b.host == "trap.example.com" and b.max_fetches_per_batch == 2
+
+    # the override table throttles the trap host in the politeness gate
+    from warc_spark.functions.graph import host_of_expr
+    from warc_spark.operators.politeness import flag_politeness
+
+    frontier = spark.read.parquet(pages).select(
+        "url", host_of_expr("url").alias("host"), F.lit(1.0).alias("priority"))
+    kept = (
+        flag_politeness(frontier, budgets, default_budget=100)
+        .where(F.col("kept"))
+        .groupBy("host").count().collect())
+    got = {r.host: r["count"] for r in kept}
+    assert got == {"trap.example.com": 2, "ok.example.com": 100}

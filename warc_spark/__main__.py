@@ -206,6 +206,27 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out", required=True, help="output parquet dir")
     s.add_argument("--master", default=None)
 
+    t = sub.add_parser(
+        "traps",
+        help="crawl-trap detection: per-host URL-template explosion "
+             "stats from a WARC set or a pages/captures parquet -> stats "
+             "parquet + flagged-host politeness-budget overrides for "
+             "`crawl`",
+    )
+    t.add_argument("--warc", default=None, help="WARC path/glob (*.warc[.gz])")
+    t.add_argument(
+        "--pages", default=None,
+        help="parquet dir with a url column (alternative to --warc)",
+    )
+    t.add_argument("--out", required=True, help="output dir (stats/, budgets/)")
+    t.add_argument("--min-urls", type=int, default=1000)
+    t.add_argument("--min-urls-per-template", type=float, default=50.0)
+    t.add_argument(
+        "--trap-budget", type=int, default=1,
+        help="max fetches per batch for flagged hosts",
+    )
+    t.add_argument("--master", default=None)
+
     x = sub.add_parser(
         "index",
         help="offset index for WARC (gzip members) or ARC (records) -> "
@@ -413,6 +434,49 @@ def main(argv: list[str] | None = None) -> int:
                 "resolved AND hops > 0 AND final_status IS NULL"
             ).count(),
             "out": args.out,
+        }))
+        spark.stop()
+        return 0
+    if args.cmd == "traps":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from .operators.traps import budgets_from_traps, url_pattern_stats
+        from .plans import get_spark
+
+        if bool(args.warc) == bool(args.pages):
+            raise SystemExit("traps: give exactly one of --warc / --pages")
+        spark = get_spark(app="warc_spark_traps", master=args.master)
+        if args.warc:
+            from .sources import read_warc
+
+            caps = (
+                read_warc(spark, args.warc, payload_cap=0)
+                .where(
+                    (F.col("warc_type") == "response")
+                    & F.col("target_uri").isNotNull()
+                )
+                .select(F.col("target_uri").alias("url"))
+            )
+        else:
+            caps = spark.read.parquet(args.pages).select("url")
+        stats_out = os.path.join(args.out, "stats")
+        budgets_out = os.path.join(args.out, "budgets")
+        url_pattern_stats(caps).write.mode("overwrite").parquet(stats_out)
+        stats = spark.read.parquet(stats_out)
+        flagged = stats.where(
+            (F.col("n_urls") >= args.min_urls)
+            & (F.col("urls_per_template") >= args.min_urls_per_template)
+        )
+        budgets_from_traps(flagged, args.trap_budget).write.mode(
+            "overwrite"
+        ).parquet(budgets_out)
+        print(json.dumps({
+            "hosts": stats.count(),
+            "flagged": spark.read.parquet(budgets_out).count(),
+            "stats": stats_out,
+            "budgets": budgets_out,
         }))
         spark.stop()
         return 0

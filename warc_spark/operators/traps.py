@@ -108,3 +108,16 @@ def trap_hosts(
         )
         .orderBy(F.desc("urls_per_template"), "host")
     )
+
+
+def budgets_from_traps(
+    flagged: DataFrame, budget_per_batch: int = 1
+) -> DataFrame:
+    """``trap_hosts`` output -> the ``(host, max_fetches_per_batch)``
+    override table ``flag_politeness`` broadcasts: flagged hosts are
+    throttled to ``budget_per_batch`` urls per batch (starved, not
+    banned — a real site that LOOKS templated still trickles through,
+    and the stats recover if the template profile normalizes)."""
+    return flagged.select(
+        "host", F.lit(budget_per_batch).alias("max_fetches_per_batch")
+    )
