@@ -296,3 +296,24 @@ def test_traps_subcommand(spark, tmp_path, capsys):
         .groupBy("host").count().collect())
     got = {r.host: r["count"] for r in kept}
     assert got == {"trap.example.com": 2, "ok.example.com": 100}
+
+
+def test_crawl_budgets_table(spark, tmp_path, capsys):
+    """`crawl --budgets-table` (the traps subcommand's budgets/ output
+    shape) throttles the named hosts: same synth crawl, host0 capped to
+    1 fetch/batch, schedules strictly fewer urls."""
+    base = _run(capsys, [
+        "crawl", "--synth-pages", "400", "--seeds", "300",
+        "--out", str(tmp_path / "c_base"), "--batches", "1",
+        "--budget", "8", "--seed", "11",
+    ])
+    budgets = str(tmp_path / "budgets")
+    spark.createDataFrame(
+        [("host0.example.org", 1)], "host string, max_fetches_per_batch int"
+    ).write.mode("overwrite").parquet(budgets)
+    capped = _run(capsys, [
+        "crawl", "--synth-pages", "400", "--seeds", "300",
+        "--out", str(tmp_path / "c_capped"), "--batches", "1",
+        "--budget", "8", "--seed", "11", "--budgets-table", budgets,
+    ])
+    assert 0 < capped["scheduled"] < base["scheduled"]

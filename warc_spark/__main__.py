@@ -47,6 +47,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="derive per-host politeness budgets from robots Crawl-delay "
              "(budget = floor(batch_seconds / delay), min 1)",
     )
+    c.add_argument(
+        "--budgets-table",
+        help="parquet dir with (host, max_fetches_per_batch) overrides — "
+             "e.g. the traps subcommand's budgets/ output; combined with "
+             "--batch-seconds budgets by MIN per host (most restrictive "
+             "wins)",
+    )
     c.add_argument("--resume", action="store_true", help="continue from last snapshot")
     c.add_argument("--no-bloom", action="store_true", help="exact-only membership")
     c.add_argument("--bloom-buckets", type=int, default=64)
@@ -515,6 +522,20 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.politeness import budgets_from_crawl_delay
 
         budgets = budgets_from_crawl_delay(robots, args.batch_seconds)
+    if args.budgets_table:
+        from pyspark.sql import functions as F
+
+        bt = spark.read.parquet(args.budgets_table).select(
+            "host", "max_fetches_per_batch"
+        )
+        if budgets is None:
+            budgets = bt
+        else:  # most restrictive budget wins per host
+            budgets = (
+                budgets.unionByName(bt)
+                .groupBy("host")
+                .agg(F.min("max_fetches_per_batch").alias("max_fetches_per_batch"))
+            )
 
     eng = FrontierEngine(
         spark, pages, SnapStore(args.out), robots=robots, budgets=budgets,
