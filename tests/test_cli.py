@@ -317,3 +317,60 @@ def test_crawl_budgets_table(spark, tmp_path, capsys):
         "--budget", "8", "--seed", "11", "--budgets-table", budgets,
     ])
     assert 0 < capped["scheduled"] < base["scheduled"]
+
+
+def test_curate_subcommand(spark, tmp_path, capsys):
+    """curate: every stage observable — quality drops shorts/wrong-lang,
+    exact dedup removes the planted byte-duplicate, minhash removes the
+    near-duplicate, hostcap downsamples the mega-host, pii scrubs the
+    planted email — and the stats JSON accounts for each."""
+    docs = str(tmp_path / "cur_docs")
+    def words(tag, n=40):
+        return " ".join(f"{tag}w{j} the of and" for j in range(n))
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away across the wide open field tonight ") * 3
+    rows = [
+        (0, base + "alpha", "en", "http://big.example.com/p/0"),
+        (1, base + "alpha", "en", "http://big.example.com/p/1"),   # exact dup of 0
+        (2, base + "alpha beta", "en", "http://big.example.com/p/2"),  # near dup of 0
+        (3, words("mail") + " write to a.b@example.com now", "en",
+         "http://small.example.com/p/3"),
+        (4, "too short", "en", "http://small.example.com/p/4"),    # quality: short
+        (5, "der hund läuft " + " ".join(f"und der w{j} ist nicht da" for j in range(20)),
+         "de", "http://small.example.com/p/5"),  # wrong lang
+    ]
+    # pad the big host with mutually-distinct docs so hostcap (cap=2)
+    # has something to downsample that dedup must NOT touch
+    rows += [
+        (10 + i, words(f"pad{i}"), "en", f"http://big.example.com/q/{10 + i}")
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    ).write.mode("overwrite").parquet(docs)
+    out = str(tmp_path / "curated")
+    res = _run(capsys, [
+        "curate", "--docs", docs, "--out", out,
+        "--steps", "quality,exact,minhash,hostcap,pii",
+        "--langs", "en", "--min-tokens", "20", "--host-cap", "2",
+    ])
+    assert res["input"] == 26
+    assert res["dropped_by_reason"] == {"too_short": 1, "wrong_lang": 1}
+    assert res["after_quality"] == 24
+    assert res["after_exact"] == 23          # doc 1 (byte-dup) gone
+    assert res["after_minhash"] == 22        # doc 2 (near-dup) gone
+    assert res["after_hostcap"] < 22         # big host downsampled
+    assert res["pii_replacements"] >= 1      # the planted email
+    curated = spark.read.parquet(out)
+    assert "text_clean" in curated.columns
+    kept_ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    # the under-cap host survives hostcap deterministically; the dupes
+    # and quality-drops are gone (doc 0 may or may not survive the
+    # probabilistic big-host cap — that's the operator's contract)
+    assert 3 in kept_ids
+    assert kept_ids.isdisjoint({1, 2, 4, 5})
+    assert res["rows"] == curated.count() == res["after_hostcap"]
+    [scrubbed] = curated.where("doc_id = 3").collect()
+    assert "a.b@example.com" not in scrubbed.text_clean
+    assert "a.b@example.com" in scrubbed.text  # original column untouched

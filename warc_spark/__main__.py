@@ -234,6 +234,31 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     t.add_argument("--master", default=None)
 
+    u = sub.add_parser(
+        "curate",
+        help="training-data curation pipeline over a documents/pages "
+             "parquet: quality cascade -> exact dedup -> MinHash near-dup "
+             "-> host-frequency cap -> PII scrub, each stage optional -> "
+             "curated parquet + per-stage counts",
+    )
+    u.add_argument("--docs", required=True, help="parquet dir (id/text[/lang/url])")
+    u.add_argument("--out", required=True, help="output parquet dir")
+    u.add_argument(
+        "--steps", default="quality,exact,minhash,pii",
+        help="comma list from: quality, exact, minhash, hostcap, pii "
+             "(hostcap needs --url-col; applied in the canonical order "
+             "regardless of how the list is written)",
+    )
+    u.add_argument("--id-col", default="doc_id")
+    u.add_argument("--text-col", default="text")
+    u.add_argument("--lang-col", default="lang")
+    u.add_argument("--url-col", default="url")
+    u.add_argument("--langs", default="en", help="comma list kept by quality")
+    u.add_argument("--min-tokens", type=int, default=25)
+    u.add_argument("--jaccard", type=float, default=0.5)
+    u.add_argument("--host-cap", type=int, default=10000)
+    u.add_argument("--master", default=None)
+
     x = sub.add_parser(
         "index",
         help="offset index for WARC (gzip members) or ARC (records) -> "
@@ -485,6 +510,74 @@ def main(argv: list[str] | None = None) -> int:
             "stats": stats_out,
             "budgets": budgets_out,
         }))
+        spark.stop()
+        return 0
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from .plans import get_spark
+
+        steps = {s.strip() for s in args.steps.split(",") if s.strip()}
+        unknown = steps - {"quality", "exact", "minhash", "hostcap", "pii"}
+        if unknown:
+            raise SystemExit(f"curate: unknown steps {sorted(unknown)}")
+        spark = get_spark(app="warc_spark_curate", master=args.master)
+        df = spark.read.parquet(args.docs)
+        stats = {"input": df.count()}
+        # one count-action per enabled stage: a CLI tool's observability
+        # trade — at 100 TB you would ride these on df.observe instead
+        if "quality" in steps:
+            from .functions.curation import quality_filter_cascade
+
+            flagged = quality_filter_cascade(
+                df, text_col=args.text_col,
+                min_tokens=args.min_tokens,
+                langs=tuple(args.langs.split(",")),
+                lang_col=args.lang_col,
+            )
+            stats["dropped_by_reason"] = {
+                r["reason"]: r["count"]
+                for r in flagged.where(~F.col("keep"))
+                .groupBy("reason").count().collect()
+            }
+            df = flagged.where(F.col("keep")).drop("keep", "reason")
+            stats["after_quality"] = df.count()
+        if "exact" in steps:
+            from .functions.dedup import dedup_exact
+
+            df = dedup_exact(df, id_col=args.id_col, text_col=args.text_col)
+            stats["after_exact"] = df.count()
+        if "minhash" in steps:
+            from .functions.dedup import minhash_lsh_pairs
+
+            pairs = minhash_lsh_pairs(
+                df, id_col=args.id_col, text_col=args.text_col,
+                jaccard_threshold=args.jaccard,
+            )
+            dropped = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
+            df = df.join(dropped, args.id_col, "left_anti")
+            stats["after_minhash"] = df.count()
+        if "hostcap" in steps:
+            from .functions.curation import cap_host_frequency
+
+            if args.url_col not in df.columns:
+                raise SystemExit(
+                    f"curate: hostcap needs a url column ({args.url_col!r} "
+                    "not in the input)"
+                )
+            df = cap_host_frequency(df, args.host_cap, url_col=args.url_col)
+            stats["after_hostcap"] = df.count()
+        if "pii" in steps:
+            from .functions.pii import scrub_pii
+
+            df = scrub_pii(df, text_col=args.text_col, out_col=args.text_col + "_clean")
+            stats["pii_replacements"] = (
+                df.agg(F.sum("pii_total")).first()[0] or 0
+            )
+        df.write.mode("overwrite").parquet(args.out)
+        stats["rows"] = spark.read.parquet(args.out).count()
+        stats["out"] = args.out
+        print(json.dumps(stats))
         spark.stop()
         return 0
     if args.cmd == "index":
