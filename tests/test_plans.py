@@ -298,6 +298,19 @@ def test_resolve_redirects_edges_cached_no_leak(spark, tmp_path):
     ).write.mode("overwrite").parquet(path)
     caps = spark.read.parquet(path)
     spark.catalog.clearCache()
+    try:
+        # the r4 invariant, asserted on the LAZY plan (materialize=False):
+        # the K=8 hop-joins consume an InMemoryTableScan and the capture
+        # source is scanned a CONSTANT number of times (cache-build +
+        # state + terminal = 3), not once per hop — so deleting the
+        # edges.persist() fails here, not at 100x scale
+        lazy = resolve_redirects(caps, max_hops=8, materialize=False)
+        lazy.count()  # materialize the edge cache so the plan shows it
+        lp = plan_of(lazy)
+        assert "InMemoryTableScan" in lp, lp
+        assert len(_node_blocks(lp, "Scan parquet")) <= 3, lp
+    finally:
+        spark.catalog.clearCache()
     out = resolve_redirects(caps, max_hops=8)
     p = plan_of(out)
     # the walk already ran: nothing left to scan, nothing left cached

@@ -474,7 +474,11 @@ def main(argv: list[str] | None = None) -> int:
 
         from pyspark.sql import functions as F
 
-        from .operators.traps import budgets_from_traps, url_pattern_stats
+        from .operators.traps import (
+            budgets_from_traps,
+            flag_trap_stats,
+            url_pattern_stats,
+        )
         from .plans import get_spark
 
         if bool(args.warc) == bool(args.pages):
@@ -497,9 +501,8 @@ def main(argv: list[str] | None = None) -> int:
         budgets_out = os.path.join(args.out, "budgets")
         url_pattern_stats(caps).write.mode("overwrite").parquet(stats_out)
         stats = spark.read.parquet(stats_out)
-        flagged = stats.where(
-            (F.col("n_urls") >= args.min_urls)
-            & (F.col("urls_per_template") >= args.min_urls_per_template)
+        flagged = flag_trap_stats(
+            stats, args.min_urls, args.min_urls_per_template
         )
         budgets_from_traps(flagged, args.trap_budget).write.mode(
             "overwrite"
@@ -524,15 +527,25 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app="warc_spark_curate", master=args.master)
         df = spark.read.parquet(args.docs)
         stats = {"input": df.count()}
-        # one count-action per enabled stage: a CLI tool's observability
-        # trade — at 100 TB you would ride these on df.observe instead
+        # one count-action per enabled stage (a CLI tool's observability
+        # trade; at 100 TB ride these on df.observe), with a LAZY
+        # localCheckpoint per stage boundary so downstream stages and the
+        # final write consume the stage output, not a re-execution of the
+        # whole upstream chain (minhash alone consumes its input 3x)
+        cut = lambda d: d.localCheckpoint(eager=False)  # noqa: E731
         if "quality" in steps:
             from .functions.curation import quality_filter_cascade
 
+            if args.lang_col not in df.columns:
+                raise SystemExit(
+                    f"curate: quality needs a lang column ({args.lang_col!r} "
+                    "not in the input) — drop 'quality' from --steps or "
+                    "pass --lang-col"
+                )
             flagged = quality_filter_cascade(
                 df, text_col=args.text_col,
                 min_tokens=args.min_tokens,
-                langs=tuple(args.langs.split(",")),
+                langs=tuple(s.strip() for s in args.langs.split(",") if s.strip()),
                 lang_col=args.lang_col,
             )
             stats["dropped_by_reason"] = {
@@ -540,12 +553,12 @@ def main(argv: list[str] | None = None) -> int:
                 for r in flagged.where(~F.col("keep"))
                 .groupBy("reason").count().collect()
             }
-            df = flagged.where(F.col("keep")).drop("keep", "reason")
+            df = cut(flagged.where(F.col("keep")).drop("keep", "reason"))
             stats["after_quality"] = df.count()
         if "exact" in steps:
             from .functions.dedup import dedup_exact
 
-            df = dedup_exact(df, id_col=args.id_col, text_col=args.text_col)
+            df = cut(dedup_exact(df, id_col=args.id_col, text_col=args.text_col))
             stats["after_exact"] = df.count()
         if "minhash" in steps:
             from .functions.dedup import minhash_lsh_pairs
@@ -555,7 +568,7 @@ def main(argv: list[str] | None = None) -> int:
                 jaccard_threshold=args.jaccard,
             )
             dropped = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
-            df = df.join(dropped, args.id_col, "left_anti")
+            df = cut(df.join(dropped, args.id_col, "left_anti"))
             stats["after_minhash"] = df.count()
         if "hostcap" in steps:
             from .functions.curation import cap_host_frequency
@@ -565,7 +578,7 @@ def main(argv: list[str] | None = None) -> int:
                     f"curate: hostcap needs a url column ({args.url_col!r} "
                     "not in the input)"
                 )
-            df = cap_host_frequency(df, args.host_cap, url_col=args.url_col)
+            df = cut(cap_host_frequency(df, args.host_cap, url_col=args.url_col))
             stats["after_hostcap"] = df.count()
         if "pii" in steps:
             from .functions.pii import scrub_pii
@@ -621,14 +634,15 @@ def main(argv: list[str] | None = None) -> int:
         bt = spark.read.parquet(args.budgets_table).select(
             "host", "max_fetches_per_batch"
         )
-        if budgets is None:
-            budgets = bt
-        else:  # most restrictive budget wins per host
-            budgets = (
-                budgets.unionByName(bt)
-                .groupBy("host")
-                .agg(F.min("max_fetches_per_batch").alias("max_fetches_per_batch"))
-            )
+        if budgets is not None:
+            bt = budgets.unionByName(bt)
+        # one row per host ALWAYS (most restrictive wins): flag_politeness
+        # left-joins on host, so a duplicate host row — two appended traps
+        # runs, or an overlap with the crawl-delay budgets — would
+        # otherwise duplicate every frontier row of that host
+        budgets = bt.groupBy("host").agg(
+            F.min("max_fetches_per_batch").alias("max_fetches_per_batch")
+        )
 
     eng = FrontierEngine(
         spark, pages, SnapStore(args.out), robots=robots, budgets=budgets,

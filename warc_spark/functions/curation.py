@@ -310,9 +310,17 @@ def cap_host_frequency(
         .where(F.col("_cap_n") > cap)
     )
     u = F.conv(F.substring(F.md5(F.col(url_col)), 1, 8), 16, 10).cast("long")
-    keep = F.col("_cap_n").isNull() | (
-        u.cast("double") * F.col("_cap_n").cast("double")
-        < F.lit(float(cap)) * F.lit(4294967296.0)
+    # null urls can't hash: keep them unconditionally (consistent with the
+    # derived-host path, where a null url yields a null host that never
+    # joins the heavy-hitter table) rather than letting the NULL compare
+    # silently drop every null-url row of an over-cap host
+    keep = (
+        F.col("_cap_n").isNull()
+        | F.col(url_col).isNull()
+        | (
+            u.cast("double") * F.col("_cap_n").cast("double")
+            < F.lit(float(cap)) * F.lit(4294967296.0)
+        )
     )
     return (
         df.join(F.broadcast(counts), host == F.col("_cap_host"), "left")

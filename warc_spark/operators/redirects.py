@@ -154,6 +154,7 @@ def resolve_redirects(
     url_col: str = "url",
     status_col: str = "http_status",
     location_col: str = "location",
+    materialize: bool = True,
 ) -> DataFrame:
     """One row per captured url: ``(url, final_url, hops, final_status,
     resolved)``.
@@ -170,19 +171,26 @@ def resolve_redirects(
     ``latest_captures`` first). Deterministic: each url has at most one
     outgoing edge, so the walk is a function, not a search.
 
-    EAGER: the walk materializes at call time (one localCheckpoint of the
-    slim result) so the edge cache backing the K hop-joins can be
-    released before returning — a lazy return would leak one cached edge
-    copy per call for the session lifetime (the checkpoint blocks are
-    freed by Spark's ContextCleaner once the returned frame is dropped,
-    so nothing persists beyond the result's own lifetime)."""
+    EAGER by default: the walk materializes at call time (one
+    localCheckpoint of the slim result) so the edge cache backing the K
+    hop-joins can be released before returning — a lazy return would
+    leak one cached edge copy per call for the session lifetime (the
+    checkpoint blocks are freed by Spark's ContextCleaner once the
+    returned frame is dropped). Trade: lineage is truncated, so on a
+    cluster with executor decommissioning the result should be consumed
+    or written before executors holding its blocks go away.
+    ``materialize=False`` returns the LAZY plan instead (full lineage,
+    recompute-safe, explain()-able) with the edge projection persisted —
+    the caller then owns releasing it (``spark.catalog.clearCache()`` or
+    unpersisting after the terminal action)."""
     # persist the slim edge projection: the K hop-joins (and the terminal
     # labeling) all reference it — uncached, the capture scan behind it
     # would re-run once per hop (VERDICT r4: correct but wasteful at 100x)
     edges = redirect_edges(captures, url_col, status_col, location_col).persist()
-    out = _walk_plan(captures, edges, max_hops, url_col, status_col).localCheckpoint(
-        eager=True
-    )
+    walk = _walk_plan(captures, edges, max_hops, url_col, status_col)
+    if not materialize:
+        return walk
+    out = walk.localCheckpoint(eager=True)
     edges.unpersist()
     return out
 

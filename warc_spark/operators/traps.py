@@ -89,6 +89,20 @@ def url_pattern_stats(captures: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def flag_trap_stats(
+    stats: DataFrame,
+    min_urls: int = 1000,
+    min_urls_per_template: float = 50.0,
+) -> DataFrame:
+    """The flagging rule over a (pre-computed) ``url_pattern_stats``
+    frame — the single definition both ``trap_hosts`` and the CLI's
+    write-then-reread flow apply, so the criteria can't diverge."""
+    return stats.where(
+        (F.col("n_urls") >= min_urls)
+        & (F.col("urls_per_template") >= min_urls_per_template)
+    ).orderBy(F.desc("urls_per_template"), "host")
+
+
 def trap_hosts(
     captures: DataFrame,
     url_col: str = "url",
@@ -100,13 +114,8 @@ def trap_hosts(
     min_urls_per_template``. Returns the stats rows for flagged hosts,
     highest explosion first — feed it to the frontier as a budget
     override or negative seed signal."""
-    return (
-        url_pattern_stats(captures, url_col)
-        .where(
-            (F.col("n_urls") >= min_urls)
-            & (F.col("urls_per_template") >= min_urls_per_template)
-        )
-        .orderBy(F.desc("urls_per_template"), "host")
+    return flag_trap_stats(
+        url_pattern_stats(captures, url_col), min_urls, min_urls_per_template
     )
 
 

@@ -227,13 +227,16 @@ def wat_records(records: DataFrame, with_html_metadata: bool = True) -> DataFram
             ]
         )
         meta_udf = F.pandas_udf(_html_meta_kernel, meta_type)
+        # every input when-gated to response rows: request/warcinfo rows
+        # reach the kernel as all-null (fast None path) and none of their
+        # strings cross the Arrow boundary
         sp = sp.withColumn(
             "_hm",
             meta_udf(
                 F.col("__http.http_body"),
-                "target_uri",
-                "http_content_type",
-                F.col("http_headers").getItem("content-type"),
+                F.when(is_resp, F.col("target_uri")),
+                F.when(is_resp, F.col("http_content_type")),
+                F.when(is_resp, F.col("http_headers").getItem("content-type")),
             ),
         )
         env_fields += [
