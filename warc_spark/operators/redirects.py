@@ -68,6 +68,7 @@ def redirect_edges(
     url_col: str = "url",
     status_col: str = "http_status",
     location_col: str = "location",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """``(url, target)`` — one row per captured 3xx with a Location.
     Absolute Locations (any ``scheme:`` prefix — ``http://``, but also
@@ -78,7 +79,8 @@ def redirect_edges(
     path-relative ones (``next.html``, ``../x`` — RFC 9110 permits them
     and real servers emit them) resolve via RFC 3986 §5.3 merge-path +
     §5.2.4 dot-segment removal against the capture url. Map-only; only
-    the two url strings survive."""
+    the two url strings survive (plus any ``extra_cols`` the caller
+    wants carried through — capture metadata on edges)."""
     url, loc = F.col(url_col), F.col(location_col)
     origin = F.regexp_extract(url, _ORIGIN_RE, 1)
     scheme = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.\-]*):", 1)
@@ -144,7 +146,11 @@ def redirect_edges(
             & loc.isNotNull()
             & (loc != "")
         )
-        .select(F.col(url_col).alias("url"), target.alias("target"))
+        .select(
+            F.col(url_col).alias("url"),
+            target.alias("target"),
+            *[F.col(c) for c in extra_cols],
+        )
     )
 
 
