@@ -96,3 +96,48 @@ def test_streaming_bloom_seen_stateful_resume(spark, tmp_path):
     # nothing from the repeated drop re-emitted; the genuinely-new urls are
     assert urls2 & expected == set()
     assert new_expected - urls1 <= urls2
+
+
+def test_stream_wet_export_matches_batch(spark, landing_dir, tmp_path):
+    """stream==batch parity for the WET export: draining the landing dir
+    through stream_archive_export (foreachBatch -> the streamed WARC
+    sink, one epoch dir per micro-batch) yields exactly the batch
+    write_wet record set — same deterministic ids, same payload bytes —
+    and a second invocation with the same checkpoint drains nothing new
+    (AvailableNow restart semantics)."""
+    import glob
+    import os
+
+    from warc_spark.sources import read_warc
+    from warc_spark.sources.wet import write_wet
+    from warc_spark.streaming.stream import stream_archive_export, stream_pages
+
+    out = str(tmp_path / "wet_stream")
+    ckpt = str(tmp_path / "wet_ckpt")
+    stream_archive_export(
+        stream_pages(spark, landing_dir, max_files_per_trigger=2),
+        out, ckpt, kind="wet",
+    )
+    epochs = sorted(glob.glob(os.path.join(out, "epoch=*")))
+    assert len(epochs) >= 2  # 4 landing files / 2 per trigger
+
+    batch_out = str(tmp_path / "wet_batch")
+    write_wet(spark.read.parquet(landing_dir), batch_out).collect()
+
+    def recset(path_glob):
+        return {
+            (r["record_id"], r["target_uri"], bytes(r["payload"]))
+            for r in read_warc(spark, path_glob).select(
+                "record_id", "target_uri", "payload").collect()
+        }
+
+    got = recset(os.path.join(out, "epoch=*", "*.warc.gz"))
+    want = recset(os.path.join(batch_out, "*.warc.gz"))
+    assert got == want and len(got) > 0
+
+    # restart with the same checkpoint: nothing new to drain
+    stream_archive_export(
+        stream_pages(spark, landing_dir, max_files_per_trigger=2),
+        out, ckpt, kind="wet",
+    )
+    assert sorted(glob.glob(os.path.join(out, "epoch=*"))) == epochs

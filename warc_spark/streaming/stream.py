@@ -178,3 +178,50 @@ def run_available_now_to_dir(
     )
     q.awaitTermination(timeout_sec)
     return stream_df.sparkSession.read.parquet(out_dir)
+
+
+def stream_archive_export(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    kind: str = "wet",
+    compress: bool = True,
+    timeout_sec: int = 120,
+) -> None:
+    """Continuous WET/WAT export of a live stream — the streaming analog
+    of ``write_wet``/``write_wat`` (CC's derived formats generated as
+    captures land, not in a nightly batch). ``kind="wet"`` expects a
+    pages-shaped stream (url, warc_ts, text), ``kind="wat"`` a records
+    scan stream.
+
+    Each micro-batch serializes through the streamed ``write_warc`` sink
+    (one gzip member per record, bounded memory, crash-safe part files)
+    into ``out_dir/epoch=N``. foreachBatch is at-least-once on retries,
+    so the epoch directory is cleared before a rerun writes — per-epoch
+    idempotence on top of deterministic record ids. Trigger.AvailableNow
+    + the streaming checkpoint make repeated invocations drain only NEW
+    input files (the restartable backfill harness)."""
+    if kind not in ("wet", "wat"):
+        raise ValueError(f"kind must be wet|wat, got {kind!r}")
+
+    from ..sources.warc_source import write_warc
+    from ..sources.wet import wat_records, wet_records
+
+    to_rows = wet_records if kind == "wet" else wat_records
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+        import shutil
+
+        edir = os.path.join(out_dir, f"epoch={epoch_id}")
+        if os.path.exists(edir):  # retried epoch: idempotent re-write
+            shutil.rmtree(edir)
+        write_warc(to_rows(batch_df), edir, compress=compress).collect()
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
