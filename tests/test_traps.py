@@ -217,3 +217,49 @@ class TestTrapDetection:
         for block in re.split(r"\n\(\d+\) ", p):
             if block.startswith("Exchange"):
                 assert "url#" not in block, block
+
+
+class TestTemplateRegexDialectParity:
+    def test_template_matches_python_re_on_adversarial_urls(self, spark):
+        """Guard against Java-regex vs documented-semantics drift: the
+        full template chain (path+query extract, hex/digit/value masks)
+        must agree with a plain Python `re` replay on adversarial inputs
+        — unicode hosts/paths, %-encoding, empty paths, case-mixed hex,
+        40-digit runs, matrix params, bare fragments. One Spark job."""
+        import re
+
+        def py_template(url):
+            m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^#]*)", url)
+            pq = m.group(1) if m else ""
+            t = re.sub(r"[0-9a-fA-F]{16,}", "{x}", pq)
+            t = re.sub(r"[0-9]+", "{n}", t)
+            return re.sub(r"=[^&#/]*", "=*", t)
+
+        urls = [
+            "http://h/p", "http://h/", "http://h", "http://h?q=1", "http://h#f",
+            "http://h/%e2%82%ac/p%20q", "http://h/café/日本語",
+            "http://h/" + "9" * 40, "http://h/" + "aB3" * 20,
+            "http://h/DEADbeefDEADbeef0123/x", "http://h/deadbee/x",  # 7 hex: no mask
+            "http://h/a;jsid=ABC123/x?k=v&k2=v2#frag",
+            "http://h/p?==&=&#", "http://h/p?a=1&b=&c",
+            "ftp://files.example.org/pub/1.2.3/pkg.tgz",
+            "http://h:8080/p/1", "http://user@h/p",  # port/userinfo in authority
+            "not-a-url", "", "/relative/only", "//proto-relative/p",
+            "http://h/٠١٢",  # arabic-indic digits: NOT [0-9]
+            "http://h/p?x=a/b&y=c",  # '/' ends a value mask
+        ]
+        tagged = spark.createDataFrame(
+            [(str(i), u) for i, u in enumerate(urls)], "i string, url string"
+        )
+        from warc_spark.operators.traps import url_template_expr
+
+        got = {
+            int(r.i): r.t
+            for r in tagged.select("i", url_template_expr("url").alias("t")).collect()
+        }
+        mismatches = [
+            (u, got[i], py_template(u))
+            for i, u in enumerate(urls)
+            if got[i] != py_template(u)
+        ]
+        assert not mismatches, mismatches
